@@ -1,0 +1,82 @@
+"""Counts + sniff golden tests (reference core.py:402-419, utils.py:192-303)."""
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from xoverrr_spark.operators.counts import (
+    check_counts,
+    count_discrepancies,
+    counts_joined,
+    daily_counts,
+)
+from xoverrr_spark.operators.sniff import (
+    drop_reason_breakdown,
+    evaluate_sniff,
+    sniff_histogram,
+)
+
+
+def test_counts_identical(spark):
+    rows = [(i, date(2024, 1, 1 + i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "id int, d date")
+    stats = check_counts(df, df, "d")
+    assert stats.final_score == 100
+    assert stats.mismatched_days == 0
+
+
+def test_counts_cross_fill_and_score(spark):
+    # src: day1=2, day2=3; trg: day2=3, day3=1
+    src = spark.createDataFrame(
+        [(1, date(2024, 1, 1)), (2, date(2024, 1, 1)), (3, date(2024, 1, 2)),
+         (4, date(2024, 1, 2)), (5, date(2024, 1, 2))], "id int, d date")
+    trg = spark.createDataFrame(
+        [(3, date(2024, 1, 2)), (4, date(2024, 1, 2)), (5, date(2024, 1, 2)),
+         (6, date(2024, 1, 3))], "id int, d date")
+    j = counts_joined(daily_counts(src, "d"), daily_counts(trg, "d")).orderBy("dt").collect()
+    assert [(str(r["dt"]), r["src_cnt"], r["trg_cnt"]) for r in j] == [
+        ("2024-01-01", 2, 0), ("2024-01-02", 3, 3), ("2024-01-03", 0, 1)]
+    stats = check_counts(src, trg, "d")
+    # diff = |2-0| + 0 + |0-1| = 3 ; common = min sums = 0+3+0 = 3 -> 50%
+    assert stats.diff_sum == 3 and stats.common_sum == 3
+    assert stats.diff_pct == pytest.approx(50.0)
+    disc = count_discrepancies(daily_counts(src, "d"), daily_counts(trg, "d")).collect()
+    assert len(disc) == 2 and str(disc[0]["dt"]) == "2024-01-03"  # newest first
+
+
+def test_sniff_row_level(spark):
+    # 3 rows, 1 'n' => 33.3% issues (reference tests/unit/test_sniff_query.py:21-85)
+    df = spark.createDataFrame(
+        [(1, 10.0, "y"), (2, -5.0, "n"), (3, 7.0, "y")],
+        "id int, amount double, xsniff_passed string")
+    stats = evaluate_sniff(df)
+    assert stats.total_rows == 3 and stats.issue_rows == 1
+    assert stats.issue_rows_pct == pytest.approx(100 / 3)
+    hist = {r["status_value"]: r["count"] for r in sniff_histogram(df).collect()}
+    assert hist == {"y": 2, "n": 1}
+
+
+def test_sniff_empty_scores_100(spark):
+    df = spark.createDataFrame([], "id int, xsniff_passed string")
+    stats = evaluate_sniff(df)
+    assert stats.final_score == 100.0
+
+
+def test_sniff_issues_only_scores_0(spark):
+    df = spark.createDataFrame([(1, "n"), (2, "n")], "id int, xsniff_passed string")
+    assert evaluate_sniff(df).final_score == 0.0
+
+
+def test_sniff_missing_column_raises(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError):
+        evaluate_sniff(df)
+
+
+def test_drop_reason_breakdown(spark):
+    df = spark.createDataFrame(
+        [(1, ["too_short"]), (2, ["too_short", "toxic"]), (3, [])],
+        "id int, drop_reasons array<string>")
+    rows = [(r["reason"], r["issue_count"]) for r in drop_reason_breakdown(df).collect()]
+    assert rows == [("too_short", 2), ("toxic", 1)]

@@ -1,0 +1,303 @@
+"""Keyed row-diff engine — the Spark-native ``compare_dataframes``.
+
+Matches the behavior of the reference's diff core
+(``/root/reference/src/xoverrr/utils.py:405-579`` ``compare_dataframes``,
+scoring ``utils.py:56-130`` ``build_check_stats``) but is architected for
+Spark, not translated:
+
+- The reference concatenates both sides and drops full-row duplicates (a
+  symmetric-difference trick) then pairs adjacent rows with a per-row Python
+  loop (``utils.py:340-402``). Its own docstring notes an outer join would be
+  simpler (``utils.py:415-421``). Here the whole thing is ONE aggregation per
+  side + ONE full-outer join + ONE global aggregate:
+
+    groupBy(keys).agg(count, min(struct(values)))   # dedup w/ map-side combine
+    full_outer join on keys                         # Catalyst picks SMJ/broadcast
+    one agg row: totals, dups, src/trg-only, matched, per-column issue counts
+
+- Dedup: the reference keeps the first duplicate in input order
+  (``utils.py:457`` ``keep='first'``), which is not reproducible on a
+  distributed shuffle. We keep the row whose value-struct is smallest
+  (``min(struct(...))``) — deterministic under any partitioning, and a
+  map-side-combinable aggregate (a window+row_number formulation would
+  shuffle every duplicate row; this shuffles one partial per key per mapper).
+
+Scale notes (100 TB): two key-hash shuffles + one join shuffle, all on the
+primary key — AQE handles skew/partition sizing; the per-column issue counts
+ride the same single agg (no per-column passes); examples are separate
+``limit`` jobs that short-circuit after a few tasks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from statistics import median
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.normalize import canonicalize
+
+DEFAULT_MAX_EXAMPLES = 3  # reference constants.py:7
+
+CHECK_SUCCESS = "success"
+CHECK_FAILED = "failed"
+CHECK_SKIPPED = "skipped"
+
+
+@dataclass
+class CheckStats:
+    """Mirror of the reference's CheckStats (utils.py:146-177)."""
+
+    total_source_rows: int
+    total_target_rows: int
+    dup_source_rows: int
+    dup_target_rows: int
+    only_source_rows: int
+    only_target_rows: int
+    comparable_rows: int
+    passed_rows: int
+    dup_source_rows_pct: float
+    dup_target_rows_pct: float
+    source_only_rows_pct: float
+    target_only_rows_pct: float
+    issue_rows_pct: float
+    max_issue_pct: float
+    median_issue_pct: float
+    final_diff_score: float
+    final_score: float
+
+
+@dataclass
+class CheckDetails:
+    """Per-column breakdown + bounded examples (utils.py:180-189)."""
+
+    issue_breakdown: list  # [(column_name, issue_count)] sorted desc
+    issue_examples: list  # [{primary_key, column_name, source_value, target_value}]
+    dup_source_keys_examples: tuple
+    dup_target_keys_examples: tuple
+    source_only_keys_examples: tuple
+    target_only_keys_examples: tuple
+    evaluated_columns: list = field(default_factory=list)
+
+
+def build_check_stats(
+    total_source_rows: int,
+    total_target_rows: int,
+    dup_source_rows: int,
+    dup_target_rows: int,
+    only_source_rows: int,
+    only_target_rows: int,
+    comparable_rows: int,
+    passed_rows: int,
+    issue_counts: list[int] | None = None,
+) -> CheckStats:
+    """Exact scoring math of the reference (utils.py:56-130, README.md:320-328).
+
+    final_diff = 0.1*dup_src% + 0.1*dup_trg% + 0.15*src_only% + 0.15*trg_only%
+                 + 0.5*issue%;  score = 100 - final_diff.
+    comparable_rows == 0 degenerates to every pct = 100, score 0.
+    """
+    issue_counts = issue_counts or []
+    if comparable_rows == 0:
+        return CheckStats(
+            total_source_rows, total_target_rows, dup_source_rows, dup_target_rows,
+            only_source_rows, only_target_rows, 0, passed_rows,
+            100, 100, 100, 100, 100, 100, 100, 100, 0,
+        )
+    dup_src_pct = dup_source_rows / total_source_rows * 100
+    dup_trg_pct = dup_target_rows / total_target_rows * 100
+    src_only_pct = only_source_rows / comparable_rows * 100
+    trg_only_pct = only_target_rows / comparable_rows * 100
+    issue_pct = (1 - passed_rows / comparable_rows) * 100
+    pcts = [c / comparable_rows * 100 for c in issue_counts]
+    max_issue = max(pcts) if pcts else 0.0
+    med_issue = float(median(pcts)) if pcts else 0.0
+    diff = (
+        dup_src_pct * 0.1 + dup_trg_pct * 0.1
+        + src_only_pct * 0.15 + trg_only_pct * 0.15 + issue_pct * 0.5
+    )
+    return CheckStats(
+        total_source_rows, total_target_rows, dup_source_rows, dup_target_rows,
+        only_source_rows, only_target_rows, comparable_rows, passed_rows,
+        dup_src_pct, dup_trg_pct, src_only_pct, trg_only_pct, issue_pct,
+        max_issue, med_issue, diff, 100 - diff,
+    )
+
+
+def _common_value_columns(src: DataFrame, trg: DataFrame, keys: list[str]) -> list[str]:
+    """Common non-key columns, ordered as in src (utils.py:306-337)."""
+    trg_set = set(trg.columns)
+    return [c for c in src.columns if c not in keys and c in trg_set]
+
+
+def _grouped_side(df: DataFrame, keys: list[str], vals: list[str], tag: str) -> DataFrame:
+    aggs = [F.count(F.lit(1)).alias(f"{tag}_cnt")]
+    if vals:
+        aggs.append(F.min(F.struct(*[F.col(c) for c in vals])).alias(f"{tag}_row"))
+    else:
+        aggs.append(F.first(F.lit(True)).alias(f"{tag}_row"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def diff_joined(
+    src: DataFrame, trg: DataFrame, keys: list[str], normalize: bool = True
+) -> tuple[DataFrame, list[str]]:
+    """The core diff plan: per-key joined frame with group sizes + value structs.
+
+    Returns (joined, value_columns); joined columns:
+    keys..., s_cnt, s_row, t_cnt, t_row.
+    """
+    if normalize:
+        src = canonicalize(src)
+        trg = canonicalize(trg)
+    vals = _common_value_columns(src, trg, keys)
+    src = src.select(*keys, *vals)
+    trg = trg.select(*keys, *vals)
+    s = _grouped_side(src, keys, vals, "s")
+    t = _grouped_side(trg, keys, vals, "t")
+    return s.join(t, on=keys, how="full_outer"), vals
+
+
+def diff_classify(
+    src: DataFrame, trg: DataFrame, keys: list[str], normalize: bool = True
+) -> DataFrame:
+    """Per-key classification DataFrame: keys + ``diff_status`` in
+    {source_only, target_only, differs, matched} (dup keys classified on
+    their deduped representative, like the reference)."""
+    j, vals = diff_joined(src, trg, keys, normalize)
+    both = F.col("s_cnt").isNotNull() & F.col("t_cnt").isNotNull()
+    eq = F.col("s_row") == F.col("t_row") if vals else F.lit(True)
+    status = (
+        F.when(F.col("t_cnt").isNull(), F.lit("source_only"))
+        .when(F.col("s_cnt").isNull(), F.lit("target_only"))
+        .when(eq, F.lit("matched"))
+        .otherwise(F.lit("differs"))
+    )
+    return j.select(*keys, status.alias("diff_status"))
+
+
+def diff_stats_row(
+    src: DataFrame, trg: DataFrame, keys: list[str], normalize: bool = True
+) -> DataFrame:
+    """One-row DataFrame with the global diff counters (SQL-expressible —
+    used by the driver-oracle queries and by ``compare_frames``)."""
+    j, vals = diff_joined(src, trg, keys, normalize)
+    both = F.col("s_cnt").isNotNull() & F.col("t_cnt").isNotNull()
+    eq = F.col("s_row") == F.col("t_row") if vals else F.lit(True)
+    aggs = [
+        F.coalesce(F.sum("s_cnt"), F.lit(0)).cast("long").alias("total_source_rows"),
+        F.coalesce(F.sum("t_cnt"), F.lit(0)).cast("long").alias("total_target_rows"),
+        F.coalesce(F.sum(F.when(F.col("s_cnt") > 1, F.col("s_cnt") - 1)), F.lit(0))
+        .cast("long").alias("dup_source_rows"),
+        F.coalesce(F.sum(F.when(F.col("t_cnt") > 1, F.col("t_cnt") - 1)), F.lit(0))
+        .cast("long").alias("dup_target_rows"),
+        F.count(F.when(F.col("t_cnt").isNull(), 1)).alias("only_source_rows"),
+        F.count(F.when(F.col("s_cnt").isNull(), 1)).alias("only_target_rows"),
+        F.count(F.when(both, 1)).alias("comparable_rows"),
+        F.count(F.when(both & eq, 1)).alias("passed_rows"),
+    ]
+    for c in vals:
+        aggs.append(
+            F.count(F.when(both & (F.col(f"s_row.{c}") != F.col(f"t_row.{c}")), 1))
+            .alias(f"issue_{c}")
+        )
+    return j.agg(*aggs)
+
+
+def issue_examples(
+    src: DataFrame,
+    trg: DataFrame,
+    keys: list[str],
+    max_examples: int = DEFAULT_MAX_EXAMPLES,
+    normalize: bool = True,
+) -> DataFrame:
+    """Per-column discrepancy examples, capped at ``max_examples`` per column
+    with deterministic key ordering (reference caps at utils.py:387-391; the
+    reference's per-chunk row loop becomes melt + ranked window here)."""
+    from pyspark.sql.window import Window
+
+    j, vals = diff_joined(src, trg, keys, normalize)
+    if not vals:
+        return j.sparkSession.createDataFrame(
+            [], "primary_key string, column_name string, source_value string, target_value string"
+        )
+    both = F.col("s_cnt").isNotNull() & F.col("t_cnt").isNotNull()
+    pk = F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias("primary_key")
+    melted = j.filter(both).select(
+        pk,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.col(f"s_row.{c}").cast("string").alias("source_value"),
+                    F.col(f"t_row.{c}").cast("string").alias("target_value"),
+                )
+                for c in vals
+            ])
+        ).alias("d"),
+    ).select("primary_key", "d.*").filter(F.col("source_value") != F.col("target_value"))
+    w = Window.partitionBy("column_name").orderBy("primary_key")
+    return (
+        melted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_examples)
+        .drop("rn")
+    )
+
+
+def compare_frames(
+    src: DataFrame,
+    trg: DataFrame,
+    keys: list[str],
+    max_examples: int = DEFAULT_MAX_EXAMPLES,
+    normalize: bool = True,
+    with_examples: bool = True,
+) -> tuple[CheckStats | None, CheckDetails | None]:
+    """Full diff run -> (CheckStats, CheckDetails); (None, None) when both
+    sides are empty (reference utils.py:438-439 -> SKIPPED)."""
+    row = diff_stats_row(src, trg, keys, normalize).collect()[0].asDict()
+    if row["total_source_rows"] == 0 and row["total_target_rows"] == 0:
+        return None, None
+
+    vals = [c[len("issue_"):] for c in row if c.startswith("issue_")]
+    issue_counts = [row[f"issue_{c}"] for c in vals if row[f"issue_{c}"] > 0]
+    stats = build_check_stats(
+        row["total_source_rows"], row["total_target_rows"],
+        row["dup_source_rows"], row["dup_target_rows"],
+        row["only_source_rows"], row["only_target_rows"],
+        row["comparable_rows"], row["passed_rows"],
+        issue_counts,
+    )
+
+    breakdown = sorted(
+        ((c, row[f"issue_{c}"]) for c in vals if row[f"issue_{c}"] > 0),
+        key=lambda x: (-x[1], x[0]),
+    )
+    details = CheckDetails(
+        issue_breakdown=breakdown,
+        issue_examples=[],
+        dup_source_keys_examples=(),
+        dup_target_keys_examples=(),
+        source_only_keys_examples=(),
+        target_only_keys_examples=(),
+        evaluated_columns=vals,
+    )
+    if with_examples:
+        cls = diff_classify(src, trg, keys, normalize)
+        def _keys(status):
+            rows = cls.filter(F.col("diff_status") == status).select(*keys).limit(max_examples).collect()
+            return tuple(r[0] if len(keys) == 1 else tuple(r) for r in rows)
+        details.source_only_keys_examples = _keys("source_only")
+        details.target_only_keys_examples = _keys("target_only")
+        details.issue_examples = [
+            r.asDict() for r in issue_examples(src, trg, keys, max_examples, normalize).collect()
+        ]
+    return stats, details
+
+
+def check_status(stats: CheckStats | None, tolerance_pct: float = 0.0) -> str:
+    """Tolerance gate (reference core.py:1708-1712; SKIPPED when both empty
+    core.py:1641-1643)."""
+    if stats is None:
+        return CHECK_SKIPPED
+    return CHECK_SUCCESS if stats.final_diff_score <= tolerance_pct else CHECK_FAILED
