@@ -1,0 +1,121 @@
+"""Minimal pure-Python PNG codec (stdlib zlib only) + a deterministic
+"lossy" stand-in codec.
+
+This container has no image libraries (no PIL/opencv), so the image payloads
+of the pipeline fixture are real RGB8 PNGs produced/consumed by this module.
+The Spark-side plumbing (binary columns, Arrow batches, decode UDF
+signatures) is therefore fully real; only the *codec* is minimal.
+
+Lossy stand-in: fmt='jpeg' rows hold the same PNG container over pixels
+quantized to a step of 8 per channel — a deterministic fake of lossy
+compression. MSE <= step^2/12 ~ 5.3 => PSNR ~ 40.9 dB, matching the
+"PSNR >= 40 dB for lossy fmt" invariant in BASELINE.json input_hint.
+Swapping in a real JPEG codec is a one-function change (encode/decode).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+LOSSY_QUANT_STEP = 8
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """RGB8 HxWx3 uint8 array -> PNG bytes (filter type 0 per scanline)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("expected HxWx3 uint8 array")
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), pixels.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> RGB8 HxWx3 uint8 array. Supports the subset this module
+    writes (8-bit RGB, filter 0/1/2); raises on anything else."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype != 2:
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, w * 3 + 1)
+    filters = raw[:, 0]
+    out = raw[:, 1:].astype(np.int16)
+    for y in range(h):
+        f = filters[y]
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            row = out[y]
+            for x in range(3, w * 3):
+                row[x] = (row[x] + row[x - 3]) & 0xFF
+        elif f == 2:  # Up
+            if y > 0:
+                out[y] = (out[y] + out[y - 1]) & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG filter {f}")
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
+def quantize_lossy(pixels: np.ndarray, step: int = LOSSY_QUANT_STEP) -> np.ndarray:
+    """Deterministic 'lossy' transform: quantize each channel to `step`."""
+    q = (pixels.astype(np.int32) + step // 2) // step * step
+    return np.clip(q, 0, 255).astype(np.uint8)
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """fmt='png' => lossless; fmt='jpeg' => quantized-then-PNG stand-in."""
+    if fmt == "png":
+        return encode_png(pixels)
+    if fmt == "jpeg":
+        return encode_png(quantize_lossy(pixels))
+    raise ValueError(f"unsupported fmt: {fmt}")
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt in ("png", "jpeg"):
+        return decode_png(data)
+    # Real JPEG/WebP/etc. would need an image library absent from this
+    # container — the Spark plumbing treats bytes as opaque either way.
+    raise NotImplementedError(f"codec for fmt={fmt!r} not available in this environment")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10 * np.log10(255.0**2 / mse)

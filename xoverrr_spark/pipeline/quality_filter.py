@@ -1,0 +1,85 @@
+"""The flagship pipeline: image+caption quality filter.
+
+Per BASELINE.json north_rule — for each row of an
+``(image_id, bytes, w, h, fmt, caption, phash)`` table:
+
+  normalize -> language-ID -> perplexity -> heuristic rules ->
+  PII/toxicity scrub -> keep/drop + scrubbed caption
+
+Architecture (Spark-first):
+
+- Everything except perplexity is a JVM Column expression (whole-stage
+  codegen); language-ID is ``regexp_count`` expressions, rules are boolean
+  algebra, scrubbing is chained ``regexp_replace``.
+- Perplexity is the one Python hop: a Series->Series pandas UDF whose
+  numpy bigram table rides the closure (broadcast once per executor) and
+  which is fully vectorized per Arrow batch (``np.add.reduceat``; zero
+  per-row Python) — see ``functions/perplexity.py``.
+- The binary ``bytes`` column is never touched, never normalized, and is
+  projected away before any wide operation; downstream joins re-attach it
+  by ``image_id`` if needed (caption byte-equality / pixel invariants are
+  verification-harness concerns, see ``operators/multimodal.py``).
+
+The keep/drop decision generalizes the reference's row-level
+``xsniff_passed`` y/n convention (``/root/reference/src/xoverrr/utils.py:
+262-303``) to a ``drop_reasons: array<string>``; per-reason metrics come
+from ``operators.sniff.drop_reason_breakdown``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import rulespec as R
+from ..functions.langid import lang_columns
+from ..functions.perplexity import batch_perplexity
+from ..functions.quality import drop_reasons, norm_caption
+from ..functions.scrub import scrub_caption
+
+ppl_udf = F.pandas_udf(batch_perplexity, T.DoubleType())
+
+OUTPUT_COLUMNS = [
+    "image_id", "lang", "lang_conf", "ppl", "keep", "drop_reasons", "caption_scrubbed",
+]
+
+
+def annotate(df: DataFrame, caption_col: str = "caption", with_ppl: bool = True) -> DataFrame:
+    """Append pipeline columns to ``df`` (keeps all input columns)."""
+    norm = norm_caption(F.col(caption_col))
+    df = df.withColumn("_cnorm", norm)
+    lang, conf = lang_columns(F.col("_cnorm"))
+    df = df.withColumn("lang", lang).withColumn("lang_conf", conf)
+    if with_ppl:
+        df = df.withColumn("ppl", ppl_udf(F.col("_cnorm")))
+        ppl_col = F.col("ppl")
+    else:
+        df = df.withColumn("ppl", F.lit(None).cast("double"))
+        ppl_col = None
+    reasons = drop_reasons(F.col("_cnorm"), F.col("lang"), ppl_col)
+    return (
+        df.withColumn("drop_reasons", reasons)
+        .withColumn("keep", F.size("drop_reasons") == 0)
+        .withColumn("caption_scrubbed", scrub_caption(F.col("_cnorm")))
+        .drop("_cnorm")
+    )
+
+
+def quality_filter(
+    df: DataFrame, caption_col: str = "caption", with_ppl: bool = True
+) -> DataFrame:
+    """Decision-only projection: (image_id, lang, lang_conf, ppl, keep,
+    drop_reasons, caption_scrubbed). The binary payload is pruned from the
+    scan (Catalyst column pruning) because it is not referenced."""
+    return annotate(df, caption_col, with_ppl).select(*OUTPUT_COLUMNS)
+
+
+def run_metrics(decisions: DataFrame) -> DataFrame:
+    """Aggregate run metrics: totals + keep-rate (one small row)."""
+    return decisions.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count(F.when(F.col("keep"), 1)).alias("kept_rows"),
+        (F.count(F.when(F.col("keep"), 1)) / F.count(F.lit(1)) * 100).alias("keep_pct"),
+    )
