@@ -1,0 +1,112 @@
+"""Dedup + similarity operator tests (small deterministic corpora)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xoverrr_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_near_dups,
+    minhash_signature,
+    ngram_jaccard,
+    simhash,
+)
+from xoverrr_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    lsh_topk,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (3, "The  Quick Brown fox jumps over the lazy dog near the river bank"),  # ws/case dup of 1
+    (4, "the quick brown fox jumps over the lazy cat near the river bank"),  # near dup
+    (5, "completely different text about spark query engines and shuffles"),
+    (6, "short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_exact_dedup(docs):
+    groups = exact_dedup_groups(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["canonical_id"] == 1 and groups[0]["dup_count"] == 3
+    survivors = sorted(r["doc_id"] for r in exact_dedup(docs, "doc_id", "text").collect())
+    assert survivors == [1, 4, 5, 6]
+
+
+def test_minhash_identical_signatures(docs):
+    sig = minhash_signature(docs, "doc_id", "text").toPandas().set_index("doc_id")
+    assert sig.loc[1].tolist() == sig.loc[2].tolist() == sig.loc[3].tolist()
+    assert sig.loc[1].tolist() != sig.loc[5].tolist()
+
+
+def test_lsh_finds_near_dup_pair(docs):
+    sig = minhash_signature(docs, "doc_id", "text")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(sig).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_minhash_near_dups_threshold(docs):
+    nd = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+          for r in minhash_near_dups(docs, "doc_id", "text", jaccard_threshold=0.5).collect()}
+    assert nd[(1, 2)] == 1.0
+    if (1, 4) in nd:  # one word differs -> high but < 1
+        assert 0.5 <= nd[(1, 4)] < 1.0
+
+
+def test_ngram_jaccard_exact_values(docs):
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+         for r in ngram_jaccard(docs, "doc_id", "text").collect()}
+    assert j[(1, 2)] == 1.0
+    # doc4 differs in 1 word of 13 => 3-gram shingles: 11 total each, 3 containing
+    # the changed word differ => inter=8, union=14 => 4/7
+    assert j[(1, 4)] == pytest.approx(8 / 14)
+
+
+def test_simhash_dups_equal_distinct_differs(docs):
+    s = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    assert s[1] == s[2] == s[3]
+    assert s[1] != s[5]
+    # near-dup: small hamming distance
+    ham = bin(s[1] ^ s[4]).count("1")
+    assert ham <= 12
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(40):
+        v = rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, [float(x) for x in base]))
+    rows.append((101, [float(x) for x in base + 0.01 * rng.standard_normal(8)]))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_cosine_topk_finds_clone(emb):
+    q = emb.filter(F.col("vec_id") == 100)
+    top = cosine_topk(emb, q, k=3).orderBy("rank").collect()
+    assert top[0]["neighbor_id"] == 101 and top[0]["cos"] > 0.99
+    assert [r["rank"] for r in top] == [1, 2, 3]
+
+
+def test_lsh_topk_recalls_clone(emb):
+    q = emb.filter(F.col("vec_id") == 100)
+    top = lsh_topk(emb, q, k=3, n_planes=6, dim=8).collect()
+    assert any(r["neighbor_id"] == 101 for r in top)
+
+
+def test_embedding_near_dups(emb):
+    nd = embedding_near_dups(emb, threshold=0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in nd} == {(100, 101)}

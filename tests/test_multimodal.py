@@ -1,0 +1,60 @@
+"""Multimodal binary-column operator tests over the images fixture."""
+
+import numpy as np
+
+from xoverrr_spark.fixtures.images import generate_images_pdf, images_df
+from xoverrr_spark.operators.multimodal import decode_stats, psnr_vs_reference, thumbnail
+
+
+def test_decode_stats(spark):
+    df = images_df(spark, 80, 11)
+    out = decode_stats(df).toPandas().set_index("image_id")
+    assert out["ok"].all()
+    src = generate_images_pdf(80, 11).set_index("image_id")
+    assert (out["h"] == src["h"]).all() and (out["w"] == src["w"]).all()
+    assert ((out["brightness"] >= 0) & (out["brightness"] <= 255)).all()
+
+
+def test_decode_stats_bad_bytes_marked_not_ok(spark):
+    df = spark.createDataFrame(
+        [("bad", b"not an image", "png")], "image_id string, bytes binary, fmt string"
+    )
+    row = decode_stats(df).collect()[0]
+    assert row["ok"] is False
+
+
+def test_psnr_invariants(spark):
+    # regenerate the pre-encode pixels: lossless rows must match exactly,
+    # lossy rows must clear 40 dB
+    n, seed = 60, 11
+    rng = np.random.default_rng(seed)
+    from xoverrr_spark.fixtures.images import CATEGORIES, _caption
+    names = [c for c, _ in CATEGORIES]
+    weights = np.array([w for _, w in CATEGORIES])
+    cats = rng.choice(names, size=n, p=weights / weights.sum())
+    for c in cats:
+        _caption(c, rng)
+    heavy = rng.random(n) < 0.45
+    phash = rng.integers(0, 2**62, n, dtype=np.int64)
+    phash[heavy] // 1  # consume nothing extra
+    dims = np.array([8, 12, 16])[rng.integers(0, 3, n)]
+    fmts = np.where(rng.random(n) < 0.5, "png", "jpeg")
+    originals = {}
+    for i in range(n):
+        px = rng.integers(0, 256, (int(dims[i]), int(dims[i]), 3), dtype=np.uint8)
+        originals[f"img_{i:08d}"] = px
+
+    df = images_df(spark, n, seed)
+    res = psnr_vs_reference(df, originals).toPandas().set_index("image_id")
+    assert len(res) == n
+    png = res[res["fmt"] == "png"]
+    jpg = res[res["fmt"] == "jpeg"]
+    assert png["lossless"].all()
+    assert (jpg["psnr"] >= 40.0).all()
+
+
+def test_thumbnail_shape(spark):
+    df = images_df(spark, 20, 5)
+    out = thumbnail(df, size=4).toPandas()
+    assert len(out) == 20
+    assert all(len(bytes(t)) == 4 * 4 * 3 for t in out["thumb"])

@@ -1,0 +1,69 @@
+"""Kill/resume: a crashed run resumed must equal a fresh single run
+(the Spark analogue of the reference's chunked==unchunked equivalence,
+/root/reference/tests/integration/self_db/postgres/test_postgres_chunking_yearly.py:64).
+"""
+
+import glob
+
+import pytest
+
+from xoverrr_spark.fixtures.images import images_df
+from xoverrr_spark.pipeline.runner import completed_buckets, run_pipeline
+
+N = 800
+BUCKETS = 4
+
+
+def _decisions(spark, out):
+    return (
+        spark.read.parquet(f"{out}/decisions")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_kill_and_resume_equals_fresh(spark, tmp_path):
+    images = images_df(spark, N, 42)
+
+    fresh = tmp_path / "fresh"
+    s1 = run_pipeline(spark, images, str(fresh), n_buckets=BUCKETS)
+    assert s1["total_rows"] == N
+    assert len(completed_buckets(str(fresh))) == BUCKETS
+
+    crashy = tmp_path / "crashy"
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline(spark, images, str(crashy), n_buckets=BUCKETS, _fail_after_bucket=1)
+    assert len(completed_buckets(str(crashy))) == 2  # buckets 0,1 done
+
+    s2 = run_pipeline(spark, images, str(crashy), n_buckets=BUCKETS)  # resume
+    skipped = [r for r in s2["lineage"] if r.get("skipped")]
+    assert len(skipped) == 2, "resume must skip completed buckets"
+    assert s2["total_rows"] == N and s2["kept_rows"] == s1["kept_rows"]
+
+    a, b = _decisions(spark, str(fresh)), _decisions(spark, str(crashy))
+    assert a["image_id"].tolist() == b["image_id"].tolist()
+    assert a["keep"].tolist() == b["keep"].tolist()
+    assert a["caption_scrubbed"].tolist() == b["caption_scrubbed"].tolist()
+
+
+def test_rerun_of_done_bucket_is_idempotent(spark, tmp_path):
+    images = images_df(spark, 300, 7)
+    out = tmp_path / "o"
+    run_pipeline(spark, images, str(out), n_buckets=2)
+    before = sorted(glob.glob(f"{out}/decisions/bucket=0/*.parquet"))
+    s = run_pipeline(spark, images, str(out), n_buckets=2)  # all skipped
+    assert all(r["skipped"] for r in s["lineage"])
+    assert sorted(glob.glob(f"{out}/decisions/bucket=0/*.parquet")) == before
+
+
+def test_lineage_and_metrics_written(spark, tmp_path):
+    images = images_df(spark, 300, 7)
+    out = tmp_path / "o"
+    s = run_pipeline(spark, images, str(out), n_buckets=2)
+    lin = spark.read.parquet(f"{out}/lineage").toPandas()
+    assert set(lin["bucket"]) == {0, 1}
+    assert lin["n_rows"].sum() == 300
+    met = spark.read.parquet(f"{out}/metrics").toPandas()
+    assert {"reason", "issue_count", "run_id"} <= set(met.columns)
+    assert s["status"] == "success"

@@ -1,0 +1,196 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each scale-shaped for Spark:
+
+- **Exact**: md5 of canonical text -> groupBy(hash) keep min(id). One
+  key-hash shuffle; partial aggregation map-side.
+- **MinHash + LSH**: word-shingles -> 60-bit md5 base hash -> k universal
+  hashes ``(a_i*x+b_i) mod p`` -> per-doc signature -> band buckets ->
+  candidate pairs from bucket self-join. Shuffle cost is O(docs x bands),
+  never O(docs^2); only bucket-mates are paired.
+- **SimHash**: 48-bit sign-aggregated token hashes; near-dups share a
+  simhash (or differ in few bits). One explode + one groupBy.
+- **N-gram Jaccard**: exact verification on candidate pairs via a shingle
+  co-occurrence join (|A∩B| from the join, sizes from per-doc counts).
+- **Embedding cosine near-dup**: see operators.similarity.
+
+All hash math rides ``tokens.md5_long`` so every stage can be replayed
+value-for-value in DuckDB by the driver's oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokens import fingerprint, md5_long, word_shingles
+
+# Affine universal hashes (a*x+b) mod p sized to never overflow int64 even
+# under ANSI arithmetic: base hash x < 2^40, a,b < 2^20 => a*x+b < 2^60.
+# Identical plain-integer math runs in the DuckDB oracle.
+MERSENNE_P = (1 << 61) - 1
+_COEF_BITS = 20
+
+
+def minhash_params(num_hashes: int, seed: int = 1234567) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficient pairs below 2^20."""
+    params = []
+    state = seed
+    mask = (1 << _COEF_BITS) - 1
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = ((state >> 20) & mask) | 1
+        b = (state >> 43) & mask
+        params.append((a, b))
+    return params
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(text_fp, canonical_id, dup_count) per duplicate group (count > 1)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("text_fp"))
+        .groupBy("text_fp")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Survivors: the min-id row of every exact-duplicate group."""
+    fp = df.withColumn("text_fp", fingerprint(F.col(text_col)))
+    keep = fp.groupBy("text_fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, [id_col, "text_fp"], "left_semi").drop("text_fp")
+
+
+def md5_long40(c):
+    """40-bit md5-based hash (first 10 hex chars) — MinHash base hash;
+    small enough that (a*x+b) never overflows int64. DuckDB twin:
+    ('0x'||substr(md5(x),1,10))::BIGINT."""
+    return F.conv(F.substring(F.md5(c), 1, 10), 16, 10).cast("bigint")
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, shingle_hash) — exploded distinct word n-grams, md5-hashed."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    ).select("doc_id", md5_long40(F.col("shingle")).alias("shingle_hash"))
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 16, shingle_n: int = 3, seed: int = 1234567,
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}) MinHash signature via universal hashing.
+
+    One explode + one groupBy; the k mins ride a single aggregate (partial
+    map-side combine keeps shuffle bytes at k longs per doc per mapper).
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min((F.lit(a) * F.col("shingle_hash") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes, seed))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs: docs sharing any LSH band bucket.
+
+    Band bucket key is md5 of the concatenated band slice — a string both
+    engines hash identically. Self-join per bucket; doc_a < doc_b dedups
+    the pair space.
+    """
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *cols)).alias("bkey"))
+        )
+    buckets = signatures.select(
+        F.col("doc_id"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bkey")
+    a = buckets.alias("a")
+    b2 = buckets.alias("b")
+    return (
+        a.join(b2, ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard
+    -> (doc_a, doc_b, jaccard >= threshold)."""
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sig, num_hashes, bands)
+    j = ngram_jaccard(df, id_col, text_col, shingle_n)
+    return (
+        cands.join(j, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard for pairs sharing >= min_shared
+    shingles: |A∩B| from a shingle co-occurrence self-join, |A|,|B| from
+    per-doc counts. At scale, run on LSH candidates (minhash_near_dups) —
+    the raw self-join explodes on common shingles.
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle_hash")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= min_shared)
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+SIMHASH_BITS = 48
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, simhash) — 48-bit sign-aggregated token-hash fingerprint.
+
+    explode(tokens) -> per-bit +-1 sums in ONE aggregate (48 agg columns,
+    partial combine map-side) -> bits reassembled as a long.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).select("doc_id", md5_long(F.col("tok")).alias("th"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agged = toks.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return agged.select("doc_id", sim.alias("simhash"))

@@ -1,0 +1,108 @@
+"""Multimodal (binary image) column operators.
+
+Images are opaque ``binary`` columns with typed metadata (w, h, fmt) per
+BASELINE.json input_hint. Decode / feature-extraction / resize run as
+vectorized pandas batches over ``mapInPandas`` — the Spark plumbing
+(schemas, Arrow batch shapes, partition-parallel decode) is real; the codec
+is the pure-python PNG module (real for fmt in {png, jpeg-stand-in}); real
+JPEG/WebP decoding would need an image library absent from this container
+and raises ``NotImplementedError`` (clearly-marked stub path).
+
+The PSNR verifier implements the input_hint invariant: decoded pixels of
+the lossy stand-in must be within PSNR >= 40 dB of originals.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..codecs.png import decode_image, psnr, quantize_lossy
+
+IMAGE_STATS_SCHEMA = (
+    "image_id string, ok boolean, h int, w int, mean_r double, mean_g double, "
+    "mean_b double, brightness double, px_checksum long"
+)
+
+
+def decode_stats(df: DataFrame) -> DataFrame:
+    """Per-image decode + feature extraction (means, brightness, checksum).
+
+    mapInPandas: one Python worker per partition, Arrow batches in/out;
+    decode cost parallelizes with the input partitioning (no shuffle).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = decode_image(bytes(blob), fmt)
+                    means = px.reshape(-1, 3).mean(axis=0)
+                    recs.append(
+                        (iid, True, px.shape[0], px.shape[1],
+                         float(means[0]), float(means[1]), float(means[2]),
+                         float(means.mean()),
+                         int(np.int64(px.sum())))
+                    )
+                except (ValueError, NotImplementedError):
+                    recs.append((iid, False, None, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                recs,
+                columns=["image_id", "ok", "h", "w", "mean_r", "mean_g",
+                         "mean_b", "brightness", "px_checksum"],
+            )
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(batches, IMAGE_STATS_SCHEMA)
+
+
+PSNR_SCHEMA = "image_id string, fmt string, psnr double, lossless boolean"
+
+
+def psnr_vs_reference(df: DataFrame, reference_pixels: dict[str, np.ndarray]) -> DataFrame:
+    """Verification harness: PSNR of each stored image vs caller-provided
+    original pixel arrays (keyed by image_id). Small fixture-scale only —
+    the dict rides the closure; at scale originals would be a second
+    binary column and this becomes a two-column decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                ref = reference_pixels.get(iid)
+                if ref is None:
+                    continue
+                px = decode_image(bytes(blob), fmt)
+                p = psnr(ref, px)
+                recs.append((iid, fmt, float(min(p, 1e9)), bool(np.array_equal(ref, px))))
+            yield pd.DataFrame(recs, columns=["image_id", "fmt", "psnr", "lossless"])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(batches, PSNR_SCHEMA)
+
+
+RESIZED_SCHEMA = "image_id string, h int, w int, thumb binary"
+
+
+def thumbnail(df: DataFrame, size: int = 4) -> DataFrame:
+    """Deterministic box-downsample to size x size RGB (pure numpy);
+    output is raw RGB bytes. Stands in for a real resize kernel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = decode_image(bytes(blob), fmt).astype(np.float64)
+                h, w, _ = px.shape
+                ys = np.linspace(0, h, size + 1).astype(int)
+                xs = np.linspace(0, w, size + 1).astype(int)
+                out = np.zeros((size, size, 3), np.uint8)
+                for i in range(size):
+                    for j in range(size):
+                        out[i, j] = px[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean(axis=(0, 1))
+                recs.append((iid, size, size, out.tobytes()))
+            yield pd.DataFrame(recs, columns=["image_id", "h", "w", "thumb"])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(batches, RESIZED_SCHEMA)

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Query side is small and broadcast; the corpus side streams, so cost is
+  one pass over the corpus per batch of queries (no shuffle of the corpus).
+  Dot products are ``zip_with``/``aggregate`` Column expressions
+  (JVM-side, codegen'd) — no Python in the hot path.
+- ``lsh_topk``: the scale path — random-hyperplane LSH buckets shrink the
+  candidate set, exact cosine reranks. Planes are seeded numpy constants
+  shipped as array literals (broadcast with the plan).
+- ``embedding_near_dups``: cosine >= threshold pairs (near-dup modality for
+  embedding-space dedup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, cos, rank).
+
+    Self-matches (same id) are excluded. Broadcast the (small) query side.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 20240816) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Random-hyperplane signature as an int bucket id."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(_dot(vec, plane) > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 8, dim: int = 64,
+) -> DataFrame:
+    """ANN top-k: candidates = same LSH bucket, exact cosine rerank.
+
+    At 10^12 scale the bucket join replaces the full scan; recall is tuned
+    by n_planes (fewer planes => bigger buckets => higher recall/cost).
+    """
+    planes = hyperplanes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dups(
+    corpus: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    probe_mod: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine >= threshold, id_a < id_b.
+
+    ``probe_mod`` restricts the left side to ids % probe_mod == 0 (bounded
+    demo form); production path routes through lsh buckets first.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
+    if probe_mod:
+        a = a.filter(F.col("id_a") % probe_mod == 0)
+    b = corpus.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    return (
+        b.crossJoin(F.broadcast(a))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

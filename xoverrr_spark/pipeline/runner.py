@@ -1,0 +1,192 @@
+"""Checkpointed, resumable, bucket-partitioned pipeline runner.
+
+The Spark re-expression of the reference's chunked execution loop
+(``/root/reference/src/xoverrr/core.py:1447-1483`` ``_iter_date_chunks`` +
+per-chunk accumulators ``core.py:1508-1640``) and run persistence
+(``/root/reference/src/xoverrr/persistence.py:236-341``): the unit of work
+is one **phash bucket** (standing in for an Iceberg partition) instead of a
+date window; per-bucket completion markers replace the implicit
+chunk cursor, so a rerun skips finished buckets — idempotent resume.
+
+Scale design (10^12 images, per north_rule):
+
+- ``bucket = pmod(phash, n_buckets)`` is the partition key; on a real
+  Iceberg deployment this is the table's partition spec and each bucket job
+  prunes to one partition (predicate pushdown, no full scan).
+- Skewed language clusters concentrate in few phash buckets, so each bucket
+  job **explicitly salts**: repartition by ``pmod(xxhash64(image_id), salt)``
+  spreads a hot bucket across the whole cluster. The pipeline itself is
+  map-only, so this is the only shuffle — and it is optional
+  (``salt_partitions=0`` disables it when input file splits are already even).
+- Outputs are written per bucket with dynamic-overwrite semantics (a rerun
+  of a bucket replaces exactly its own files): decisions, a per-reason
+  metrics table, and a lineage row (run_id, timings, row counts) — the
+  normalized split of the reference's ~60-column audit row (R5).
+
+Directory layout under ``output_dir``::
+
+    decisions/bucket=<i>/   part-*.parquet   (image_id, lang, ..., keep)
+    metrics/bucket=<i>/     per-reason issue counts
+    lineage/bucket=<i>/     one row per completed bucket run
+    _checkpoints/bucket_<i>.json             completion marker (atomic rename)
+
+``spark-submit --py-files xoverrr_spark.zip -m`` entry at the bottom.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sniff import drop_reason_breakdown
+from .quality_filter import quality_filter
+
+
+def build_run_id() -> str:
+    # same shape as the reference's run ids (persistence.py:51-53)
+    return uuid.uuid4().hex[:16]
+
+
+def _ckpt_path(output_dir: str, bucket: int) -> str:
+    return os.path.join(output_dir, "_checkpoints", f"bucket_{bucket}.json")
+
+
+def _mark_done(output_dir: str, bucket: int, payload: dict) -> None:
+    path = _ckpt_path(output_dir, bucket)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, path)  # atomic: a crash never leaves a half marker
+
+
+def completed_buckets(output_dir: str) -> dict[int, dict]:
+    d = os.path.join(output_dir, "_checkpoints")
+    out = {}
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if name.startswith("bucket_") and name.endswith(".json"):
+                with open(os.path.join(d, name)) as fh:
+                    out[int(name[len("bucket_"):-len(".json")])] = json.load(fh)
+    return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    images: DataFrame,
+    output_dir: str,
+    n_buckets: int = 16,
+    salt_partitions: int | None = None,
+    resume: bool = True,
+    tolerance_drop_pct: float = 100.0,
+    _fail_after_bucket: int | None = None,
+) -> dict:
+    """Run the quality filter bucket-by-bucket with checkpointed resume.
+
+    Returns a summary dict (run_id, totals, status, per-bucket lineage).
+    ``_fail_after_bucket`` injects a crash after that bucket completes
+    (kill/resume tests only).
+    """
+    run_id = build_run_id()
+    if salt_partitions is None:
+        salt_partitions = spark.sparkContext.defaultParallelism
+    done = completed_buckets(output_dir) if resume else {}
+    bucketed = images.withColumn("bucket", F.pmod(F.col("phash"), F.lit(n_buckets)).cast("int"))
+
+    lineage = []
+    for b in range(n_buckets):
+        if b in done:
+            lineage.append({**done[b], "skipped": True})
+            continue
+        t0 = time.time()
+        part = bucketed.filter(F.col("bucket") == b).drop("bucket")
+        if salt_partitions > 1:
+            # explicit skew salting: hot buckets spread over the cluster
+            part = part.repartition(
+                salt_partitions, F.pmod(F.xxhash64("image_id"), F.lit(salt_partitions))
+            )
+        decisions = quality_filter(part)
+        dec_path = os.path.join(output_dir, "decisions", f"bucket={b}")
+        decisions.write.mode("overwrite").parquet(dec_path)
+
+        dec_out = spark.read.parquet(dec_path)
+        metrics = drop_reason_breakdown(dec_out).withColumn("run_id", F.lit(run_id))
+        metrics.write.mode("overwrite").parquet(os.path.join(output_dir, "metrics", f"bucket={b}"))
+        counts = dec_out.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_keep"),
+        ).collect()[0]
+        row = {
+            "run_id": run_id,
+            "bucket": b,
+            "n_rows": int(counts["n_rows"]),
+            "n_keep": int(counts["n_keep"]),
+            "started_at": t0,
+            "finished_at": time.time(),
+            "duration_s": time.time() - t0,
+            "skipped": False,
+        }
+        spark.createDataFrame(
+            [(run_id, b, row["n_rows"], row["n_keep"], row["duration_s"])],
+            "run_id string, bucket int, n_rows long, n_keep long, duration_s double",
+        ).write.mode("overwrite").parquet(os.path.join(output_dir, "lineage", f"bucket={b}"))
+        _mark_done(output_dir, b, row)
+        lineage.append(row)
+        if _fail_after_bucket is not None and b >= _fail_after_bucket:
+            raise RuntimeError(f"injected failure after bucket {b}")
+
+    total = sum(r["n_rows"] for r in lineage)
+    kept = sum(r["n_keep"] for r in lineage)
+    drop_pct = (100.0 * (total - kept) / total) if total else 0.0
+    status = "success" if drop_pct <= tolerance_drop_pct else "failed"
+    return {
+        "run_id": run_id,
+        "n_buckets": n_buckets,
+        "total_rows": total,
+        "kept_rows": kept,
+        "drop_pct": drop_pct,
+        "status": status,
+        "lineage": lineage,
+    }
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description="xoverrr_spark quality-filter runner")
+    ap.add_argument("--input", help="parquet path of the images table")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate a deterministic N-row fixture instead of --input")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--salt", type=int, default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--tolerance", type=float, default=100.0)
+    args = ap.parse_args(argv)
+
+    from ..session import get_spark
+
+    spark = get_spark("xoverrr_runner")
+    if args.synthetic:
+        from ..fixtures.images import images_df
+
+        images = images_df(spark, args.synthetic, args.seed)
+    elif args.input:
+        images = spark.read.parquet(args.input)
+    else:
+        ap.error("need --input or --synthetic N")
+    summary = run_pipeline(
+        spark, images, args.output, args.buckets,
+        salt_partitions=args.salt, resume=not args.no_resume,
+        tolerance_drop_pct=args.tolerance,
+    )
+    print(json.dumps({k: v for k, v in summary.items() if k != "lineage"}))
+
+
+if __name__ == "__main__":
+    main()
