@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``  — flagship quality-filter pipeline on sf0.001 documents.
+``queries()``     — one Spark callable per implemented operator (SURVEY.md §2
+                    + training-data ops), each over the parquet tables in a
+                    given sf_dir.
+``oracle_sql()``  — the DuckDB twin of each query (built in
+                    ``xoverrr_spark/oracle.py`` from the same constants the
+                    Spark plans use).
 """
 
 from __future__ import annotations
@@ -12,27 +14,322 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from xoverrr_spark import oracle
+from xoverrr_spark.functions import rulespec as R
+from xoverrr_spark.functions.langid import lang_columns
+from xoverrr_spark.functions.normalize import canonicalize
+from xoverrr_spark.functions.tokens import (
+    bpe_token_count,
+    fingerprint,
+    quality_score,
+    ws_token_count,
+)
+from xoverrr_spark.operators.counts import (
+    count_discrepancies,
+    counts_joined,
+    daily_counts,
+)
+from xoverrr_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard,
+    simhash,
+)
+from xoverrr_spark.operators.diff import diff_classify, diff_stats_row
+from xoverrr_spark.operators.similarity import cosine_topk, embedding_near_dups
+from xoverrr_spark.pipeline.quality_filter import quality_filter
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _orders_sides(spark, sf_dir):
+    src = _t(spark, sf_dir, "orders")
+    trg = src.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 101 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+    )
+    return src, trg
+
+
+def _events_sides(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        daily_counts(ev.filter(F.col("event_id") % 2 == 0), "ts"),
+        daily_counts(ev.filter(F.col("event_id") % 3 != 0), "ts"),
+    )
+
+
+# ------------------------------------------------------------- queries ----
+
+def q_diff_classify(spark, sf_dir):
+    src, trg = _orders_sides(spark, sf_dir)
+    return diff_classify(src, trg, ["o_orderkey"], normalize=False)
+
+
+def q_diff_stats(spark, sf_dir):
+    src, trg = _orders_sides(spark, sf_dir)
+    return diff_stats_row(src, trg, ["o_orderkey"], normalize=False)
+
+
+def q_dup_keys(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def q_daily_counts(spark, sf_dir):
+    return daily_counts(_t(spark, sf_dir, "events"), "ts")
+
+
+def q_counts_crossfill(spark, sf_dir):
+    s, t = _events_sides(spark, sf_dir)
+    return counts_joined(s, t)
+
+
+def q_count_mismatch(spark, sf_dir):
+    s, t = _events_sides(spark, sf_dir)
+    return count_discrepancies(s, t)
+
+
+def q_sniff_histogram(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.when(F.col("o_totalprice") > oracle.SNIFF_THRESHOLD, "y")
+            .otherwise("n")
+            .alias("status_value")
+        )
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def q_sniff_stats(spark, sf_dir):
+    flag = F.when(F.col("o_totalprice") > oracle.SNIFF_THRESHOLD, "y").otherwise("n")
+    df = _t(spark, sf_dir, "orders").select(flag.alias("flag"))
+    return df.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count(F.when(F.col("flag") == "y", 1)).alias("passed_rows"),
+        F.count(F.when(F.col("flag") == "n", 1)).alias("issue_rows"),
+        (F.count(F.when(F.col("flag") == "n", 1)) * 100.0 / F.count(F.lit(1))).alias("issue_rows_pct"),
+        (100.0 - F.count(F.when(F.col("flag") == "n", 1)) * 100.0 / F.count(F.lit(1))).alias("final_score"),
+    )
+
+
+def q_normalize(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_shipdate",
+    )
+    return canonicalize(li)
+
+
+def q_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_top10(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit(oracle.CUSTOMER_CUTOFF).cast("date")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_top3_suppliers(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal", "rk")
+    )
+
+
+def q_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    lang, conf = lang_columns(F.col("text"))
+    return d.select("doc_id", lang.alias("lang"), conf.alias("lang_conf"))
+
+
+def q_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality_score"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    return exact_dedup_groups(doubled, "doc_id", "text")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return minhash_signature(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_lsh_candidates(spark, sf_dir):
+    sig = minhash_signature(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return lsh_candidate_pairs(sig)
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    return ngram_jaccard(_t(spark, sf_dir, "documents"), "doc_id", "text").filter(
+        F.col("jaccard") >= 0.5
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < oracle.ANN_QUERY_MAX_ID)
+    return cosine_topk(emb, q, k=oracle.ANN_K).select("query_id", "neighbor_id", "rank")
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=oracle.NEAR_DUP_COS).select("id_a", "id_b")
+
+
+def q_quality_filter_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "image_id")
+    out = quality_filter(d, caption_col="text", with_ppl=False)
+    return out.select(
+        F.col("image_id").alias("doc_id"),
+        "lang",
+        F.concat_ws(",", "drop_reasons").alias("drop_reasons"),
+        "keep",
+        "caption_scrubbed",
+    )
+
+
+def q_drop_reason_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "image_id")
+    out = quality_filter(d, caption_col="text", with_ppl=False)
+    return (
+        out.select(F.explode("drop_reasons").alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("issue_count"))
+    )
+
+
+# -------------------------------------------------------------- contract ----
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full quality-filter pipeline (incl. perplexity pandas UDF)
+    over the sf0.001 documents table."""
+    d = _t(spark, "/root/testdata/sf0.001", "documents").withColumnRenamed("doc_id", "image_id")
+    out = quality_filter(d, caption_col="text", with_ppl=True)
+    return out.withColumn("drop_reasons", F.concat_ws(",", "drop_reasons"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "diff_classify_orders": q_diff_classify,
+        "diff_stats_orders": q_diff_stats,
+        "dup_keys_lineitem": q_dup_keys,
+        "daily_counts_events": q_daily_counts,
+        "counts_crossfill_events": q_counts_crossfill,
+        "count_mismatch_days": q_count_mismatch,
+        "sniff_histogram_orders": q_sniff_histogram,
+        "sniff_stats_orders": q_sniff_stats,
+        "normalize_lineitem": q_normalize,
+        "q1_pricing_summary": q_q1,
+        "revenue_top10": q_revenue_top10,
+        "customers_without_orders": q_customers_without_orders,
+        "top3_suppliers_per_nation": q_top3_suppliers,
+        "langid_documents": q_langid,
+        "token_stats_documents": q_token_stats,
+        "fingerprint_documents": q_fingerprint,
+        "quality_score_documents": q_quality_score,
+        "exact_dedup_documents": q_exact_dedup,
+        "minhash_signatures_documents": q_minhash_signatures,
+        "lsh_candidates_documents": q_lsh_candidates,
+        "jaccard_pairs_documents": q_jaccard_pairs,
+        "simhash_documents": q_simhash,
+        "ann_topk_embeddings": q_ann_topk,
+        "embedding_near_dup_pairs": q_embedding_near_dups,
+        "quality_filter_documents": q_quality_filter_docs,
+        "drop_reason_counts_documents": q_drop_reason_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "diff_classify_orders": oracle.diff_classify_orders(),
+        "diff_stats_orders": oracle.diff_stats_orders(),
+        "dup_keys_lineitem": oracle.dup_keys_lineitem(),
+        "daily_counts_events": oracle.daily_counts_events(),
+        "counts_crossfill_events": oracle.counts_crossfill_events(),
+        "count_mismatch_days": oracle.count_mismatch_days(),
+        "sniff_histogram_orders": oracle.sniff_histogram_orders(),
+        "sniff_stats_orders": oracle.sniff_stats_orders(),
+        "normalize_lineitem": oracle.normalize_lineitem(),
+        "q1_pricing_summary": oracle.q1_pricing_summary(),
+        "revenue_top10": oracle.revenue_top10(),
+        "customers_without_orders": oracle.customers_without_orders(),
+        "top3_suppliers_per_nation": oracle.top3_suppliers_per_nation(),
+        "langid_documents": oracle.langid_documents(),
+        "token_stats_documents": oracle.token_stats_documents(),
+        "fingerprint_documents": oracle.fingerprint_documents(),
+        "quality_score_documents": oracle.quality_score_documents(),
+        "exact_dedup_documents": oracle.exact_dedup_documents(),
+        "minhash_signatures_documents": oracle.minhash_signatures_documents(),
+        "lsh_candidates_documents": oracle.lsh_candidates_documents(),
+        "jaccard_pairs_documents": oracle.jaccard_pairs_documents(),
+        "simhash_documents": oracle.simhash_documents(),
+        "ann_topk_embeddings": oracle.ann_topk_embeddings(),
+        "embedding_near_dup_pairs": oracle.embedding_near_dup_pairs(),
+        "quality_filter_documents": oracle.quality_filter_documents(),
+        "drop_reason_counts_documents": oracle.drop_reason_counts_documents(),
+    }

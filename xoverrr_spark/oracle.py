@@ -1,0 +1,489 @@
+"""DuckDB oracle-SQL builders — the independent twin of every driver query.
+
+Each function returns ANSI SQL (DuckDB dialect) that must produce exactly
+the rows of the matching Spark query in ``__spark_entry__.py``. All shared
+constants come from ``functions.rulespec`` / ``operators.dedup`` so the two
+implementations cannot drift apart silently.
+
+Cross-engine determinism rules observed throughout:
+- float *aggregation* goes through exact DECIMAL casts (addition order
+  differs between engines; decimal sums don't);
+- per-row double arithmetic (products, divisions) is identical IEEE ops in
+  identical order — safe to compare;
+- regexes restricted to the RE2 ∩ Java-regex subset; letter class spelled
+  ``\\p{L}`` (Java) vs ``\\pL`` (RE2); every DuckDB regexp_replace that must
+  replace all occurrences carries the ``'g'`` flag (Spark default);
+- rank ties broken by id; md5-based integer hashing identical by
+  construction (see tokens.md5_long).
+"""
+
+from __future__ import annotations
+
+from .functions import rulespec as R
+from .operators.dedup import MERSENNE_P, SIMHASH_BITS, minhash_params
+
+# ---------------------------------------------------------------- diff ----
+
+ORDERS_VALUE_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+# engineered target side: drop keys %97==0, corrupt status on %101==0
+ORDERS_TRG_CTE = """
+trg AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 101 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+)"""
+
+_EQ = " AND ".join(f"s.{c} = t.{c}" for c in ORDERS_VALUE_COLS)
+
+
+def diff_classify_orders() -> str:
+    return f"""
+WITH {ORDERS_TRG_CTE.strip()}
+SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       CASE WHEN t.o_orderkey IS NULL THEN 'source_only'
+            WHEN s.o_orderkey IS NULL THEN 'target_only'
+            WHEN {_EQ} THEN 'matched'
+            ELSE 'differs' END AS diff_status
+FROM orders s FULL OUTER JOIN trg t ON s.o_orderkey = t.o_orderkey
+"""
+
+
+def diff_stats_orders() -> str:
+    issue_cols = ",\n       ".join(
+        f"COUNT(CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL "
+        f"AND s.{c} <> t.{c} THEN 1 END) AS issue_{c}"
+        for c in ORDERS_VALUE_COLS
+    )
+    return f"""
+WITH {ORDERS_TRG_CTE.strip()}
+SELECT COUNT(s.o_orderkey) AS total_source_rows,
+       COUNT(t.o_orderkey) AS total_target_rows,
+       CAST(0 AS BIGINT) AS dup_source_rows,
+       CAST(0 AS BIGINT) AS dup_target_rows,
+       COUNT(CASE WHEN t.o_orderkey IS NULL THEN 1 END) AS only_source_rows,
+       COUNT(CASE WHEN s.o_orderkey IS NULL THEN 1 END) AS only_target_rows,
+       COUNT(CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 1 END) AS comparable_rows,
+       COUNT(CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL AND {_EQ} THEN 1 END) AS passed_rows,
+       {issue_cols}
+FROM orders s FULL OUTER JOIN trg t ON s.o_orderkey = t.o_orderkey
+"""
+
+
+def dup_keys_lineitem() -> str:
+    return """
+SELECT l_orderkey, COUNT(*) AS dup_count
+FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+"""
+
+
+# --------------------------------------------------------------- counts ----
+
+def daily_counts_events() -> str:
+    return "SELECT CAST(ts AS DATE) AS dt, COUNT(*) AS cnt FROM events GROUP BY 1"
+
+
+_EVENTS_SIDES = """
+s AS (SELECT CAST(ts AS DATE) AS dt, COUNT(*) AS cnt FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+t AS (SELECT CAST(ts AS DATE) AS dt, COUNT(*) AS cnt FROM events WHERE event_id % 3 <> 0 GROUP BY 1)"""
+
+
+def counts_crossfill_events() -> str:
+    return f"""
+WITH {_EVENTS_SIDES.strip()}
+SELECT COALESCE(s.dt, t.dt) AS dt,
+       COALESCE(s.cnt, 0) AS src_cnt, COALESCE(t.cnt, 0) AS trg_cnt
+FROM s FULL OUTER JOIN t ON s.dt = t.dt
+"""
+
+
+def count_mismatch_days() -> str:
+    return f"""
+WITH {_EVENTS_SIDES.strip()},
+j AS (
+  SELECT COALESCE(s.dt, t.dt) AS dt,
+         COALESCE(s.cnt, 0) AS src_cnt, COALESCE(t.cnt, 0) AS trg_cnt
+  FROM s FULL OUTER JOIN t ON s.dt = t.dt
+)
+SELECT dt, src_cnt, trg_cnt, src_cnt - trg_cnt AS diff
+FROM j WHERE src_cnt <> trg_cnt
+"""
+
+
+# ---------------------------------------------------------------- sniff ----
+
+SNIFF_THRESHOLD = 150000.0
+
+
+def sniff_histogram_orders() -> str:
+    return f"""
+SELECT CASE WHEN o_totalprice > {SNIFF_THRESHOLD} THEN 'y' ELSE 'n' END AS status_value,
+       COUNT(*) AS count
+FROM orders GROUP BY 1
+"""
+
+
+def sniff_stats_orders() -> str:
+    return f"""
+WITH f AS (
+  SELECT CASE WHEN o_totalprice > {SNIFF_THRESHOLD} THEN 'y' ELSE 'n' END AS flag FROM orders
+)
+SELECT COUNT(*) AS total_rows,
+       COUNT(CASE WHEN flag = 'y' THEN 1 END) AS passed_rows,
+       COUNT(CASE WHEN flag = 'n' THEN 1 END) AS issue_rows,
+       COUNT(CASE WHEN flag = 'n' THEN 1 END) * 100.0 / COUNT(*) AS issue_rows_pct,
+       100.0 - COUNT(CASE WHEN flag = 'n' THEN 1 END) * 100.0 / COUNT(*) AS final_score
+FROM f
+"""
+
+
+# ------------------------------------------------------------ normalize ----
+
+def normalize_lineitem() -> str:
+    # canonical-string parity with functions.normalize.canonical_column
+    return r"""
+SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+       CAST(l_linenumber AS VARCHAR) AS l_linenumber,
+       CASE WHEN l_quantity = floor(l_quantity) AND abs(l_quantity) < 1e15
+            THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+            ELSE regexp_replace(regexp_replace(lower(CAST(l_quantity AS VARCHAR)),
+                 '(\.\d*?)0+($|e)', '\1\2', 'g'), '\.($|e)', '\1', 'g') END AS l_quantity,
+       CASE WHEN l_extendedprice = floor(l_extendedprice) AND abs(l_extendedprice) < 1e15
+            THEN CAST(CAST(l_extendedprice AS BIGINT) AS VARCHAR)
+            ELSE regexp_replace(regexp_replace(lower(CAST(l_extendedprice AS VARCHAR)),
+                 '(\.\d*?)0+($|e)', '\1\2', 'g'), '\.($|e)', '\1', 'g') END AS l_extendedprice,
+       l_returnflag,
+       regexp_replace(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'), ' 00:00:00$', '') AS l_shipdate
+FROM lineitem
+"""
+
+
+# ----------------------------------------------------------- TPC-H-ish ----
+
+def q1_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_top10() -> str:
+    return """
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+CUSTOMER_CUTOFF = "1994-01-01"
+
+
+def customers_without_orders() -> str:
+    return f"""
+SELECT c.c_custkey, c.c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate < DATE '{CUSTOMER_CUTOFF}')
+"""
+
+
+def top3_suppliers_per_nation() -> str:
+    return """
+SELECT s_nationkey, s_suppkey, s_name, s_acctbal, rk FROM (
+  SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s_nationkey
+              ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS rk
+  FROM supplier
+) WHERE rk <= 3
+"""
+
+
+# -------------------------------------------------- text / training ops ----
+
+def _lang_counts_sql(text_expr: str) -> str:
+    parts = [
+        f"len(regexp_extract_all(lower({text_expr}), '{R.lang_pattern(lang)}')) AS s_{lang}"
+        for lang in R.LANGS
+    ]
+    return ",\n       ".join(parts)
+
+
+_LANG_CASE = """CASE WHEN m = 0 THEN 'und'
+            WHEN s_en = m THEN 'en' WHEN s_de = m THEN 'de'
+            WHEN s_fr = m THEN 'fr' ELSE 'es' END"""
+
+
+def langid_documents() -> str:
+    return f"""
+WITH sc AS (
+  SELECT doc_id, {_lang_counts_sql('text')},
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS words
+  FROM documents
+), m AS (
+  SELECT doc_id, s_en, s_de, s_fr, s_es, words,
+         GREATEST(s_en, s_de, s_fr, s_es) AS m FROM sc
+)
+SELECT doc_id, {_LANG_CASE} AS lang,
+       LEAST(m * 1.0 / GREATEST(words, 1), 1.0) AS lang_conf
+FROM m
+"""
+
+
+def token_stats_documents() -> str:
+    return r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text, '\pL+|[0-9]+|[^\pL0-9\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def fingerprint_documents() -> str:
+    return r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def quality_score_documents() -> str:
+    return r"""
+WITH f AS (
+  SELECT doc_id, text, length(text) AS n,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS wc,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) END AS dwc
+  FROM documents
+)
+SELECT doc_id,
+       round((
+         (CASE WHEN n = 0 THEN 0.0
+               ELSE length(regexp_replace(text, '[^\pL]', '', 'g')) * 1.0 / n END) * 0.4
+         + (CASE WHEN wc = 0 THEN 0.0 ELSE dwc * 1.0 / wc END) * 0.3
+         + (CASE WHEN n >= 20 AND n <= 2000 THEN 1.0
+                 WHEN n = 0 THEN 0.0 ELSE 0.5 END) * 0.3
+       ) * 100, 4) AS quality_score
+FROM f
+"""
+
+
+def exact_dedup_documents() -> str:
+    # doubled corpus => every doc has exactly one clone
+    return r"""
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+)
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_fp,
+       MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+FROM doubled
+GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+_SHINGLES_CTE = r"""
+w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words FROM documents),
+sh0 AS (
+  SELECT w.doc_id,
+         CASE WHEN len(w.words) >= 3 THEN array_to_string(w.words[g.i:g.i+2], ' ')
+              ELSE array_to_string(w.words, ' ') END AS shingle
+  FROM w, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(w.words) - 2, 1))) AS i) g
+),
+sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 10))::BIGINT AS x FROM sh0)"""
+
+
+def minhash_signatures_documents(num_hashes: int = 16) -> str:
+    mins = ",\n       ".join(
+        f"MIN(({a} * x + {b}) % {MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    return f"""
+WITH {_SHINGLES_CTE.strip()}
+SELECT doc_id, {mins}
+FROM sh GROUP BY doc_id
+"""
+
+
+def lsh_candidates_documents(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cols = ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS bkey FROM sig"
+        )
+    buckets = "\n  UNION ALL\n  ".join(band_selects)
+    mins = ",\n       ".join(
+        f"MIN(({a} * x + {b}) % {MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets AS (
+  {buckets}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def jaccard_pairs_documents(threshold: float = 0.5) -> str:
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.x = b.x
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {threshold}
+"""
+
+
+def simhash_documents() -> str:
+    bit_sums = ",\n       ".join(
+        f"SUM(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks),
+bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, {assemble} AS simhash FROM bits
+"""
+
+
+# ------------------------------------------------------------ similarity ----
+
+ANN_QUERY_MAX_ID = 8
+ANN_K = 5
+
+
+def ann_topk_embeddings() -> str:
+    cos = ("list_dot_product(qv, cv) / "
+           "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+           FROM embeddings WHERE vec_id < {ANN_QUERY_MAX_ID}),
+c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> x::DOUBLE) AS cv
+      FROM embeddings),
+s AS (SELECT query_id, neighbor_id, {cos} AS cos
+      FROM c, q WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM s
+) WHERE rank <= {ANN_K}
+"""
+
+
+# testdata embeddings are near-orthogonal random vectors (max pair cosine
+# ~0.51 at sf0.01) — 0.42 yields a small non-empty "near-dup" pair set
+NEAR_DUP_COS = 0.42
+
+
+def embedding_near_dup_pairs() -> str:
+    cos = ("list_dot_product(va, vb) / "
+           "(sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))")
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {cos.replace('va', 'a.ve').replace('vb', 'b.ve')} >= {NEAR_DUP_COS}
+"""
+
+
+# ------------------------------------------- quality-filter on documents ----
+
+def quality_filter_documents() -> str:
+    """The full heuristic pipeline (sans perplexity) replayed in SQL."""
+    reasons = f"""list_filter([
+      CASE WHEN n < {R.MIN_CAPTION_CHARS} THEN '{R.REASON_TOO_SHORT}' END,
+      CASE WHEN n > {R.MAX_CAPTION_CHARS} THEN '{R.REASON_TOO_LONG}' END,
+      CASE WHEN words < {R.MIN_WORDS} THEN '{R.REASON_TOO_FEW_WORDS}' END,
+      CASE WHEN alpha < {R.MIN_ALPHA_RATIO} THEN '{R.REASON_LOW_ALPHA}' END,
+      CASE WHEN digit > {R.MAX_DIGIT_RATIO} THEN '{R.REASON_HIGH_DIGIT}' END,
+      CASE WHEN words >= {R.REPETITION_MIN_WORDS} AND distinct_ratio < {R.MIN_DISTINCT_RATIO}
+           THEN '{R.REASON_REPETITIVE}' END,
+      CASE WHEN lang = 'en' AND words >= {R.STOPWORD_RULE_MIN_WORDS}
+                AND s_en * 1.0 / words < {R.MIN_STOPWORD_RATIO}
+           THEN '{R.REASON_LOW_STOPWORD}' END,
+      CASE WHEN lang = 'und' AND words >= {R.LANG_RULE_MIN_WORDS}
+           THEN '{R.REASON_LANG}' END,
+      CASE WHEN len(regexp_extract_all(t, '{R.TOXIC_RE}')) > 0 THEN '{R.REASON_TOXIC}' END
+    ], x -> x IS NOT NULL)"""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(trim(COALESCE(text, '')), '{R.NULLISH_RE}')
+              THEN '{R.NULL_REPLACEMENT}' ELSE trim(COALESCE(text, '')) END AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, t, length(t) AS n,
+         CASE WHEN length(trim(t)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(t), '\\s+')) END AS words,
+         CASE WHEN length(t) = 0 THEN 0.0
+              ELSE length(regexp_replace(t, '[^\\pL]', '', 'g')) * 1.0 / length(t) END AS alpha,
+         CASE WHEN length(t) = 0 THEN 0.0
+              ELSE length(regexp_replace(t, '[^0-9]', '', 'g')) * 1.0 / length(t) END AS digit,
+         CASE WHEN length(trim(t)) = 0 THEN 1.0
+              ELSE len(list_distinct(string_split_regex(trim(lower(t)), '\\s+'))) * 1.0
+                   / len(string_split_regex(trim(lower(t)), '\\s+')) END AS distinct_ratio,
+         {_lang_counts_sql('t')}
+  FROM base
+),
+lng AS (
+  SELECT *, GREATEST(s_en, s_de, s_fr, s_es) AS m FROM feat
+),
+lab AS (
+  SELECT doc_id, t, n, words, alpha, digit, distinct_ratio, s_en,
+         {_LANG_CASE} AS lang
+  FROM lng
+)
+SELECT doc_id, lang,
+       CASE WHEN t = '{R.NULL_REPLACEMENT}' THEN '{R.REASON_EMPTY}'
+            ELSE COALESCE(array_to_string({reasons}, ','), '') END AS drop_reasons,
+       CASE WHEN t = '{R.NULL_REPLACEMENT}' THEN FALSE
+            ELSE len({reasons}) = 0 END AS keep,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '{R.EMAIL_RE}', '{R.EMAIL_TOKEN}', 'g'),
+           '{R.PHONE_RE}', '{R.PHONE_TOKEN}', 'g'),
+           '{R.TOXIC_RE}', '{R.TOXIC_MASK}', 'g') AS caption_scrubbed
+FROM lab
+"""
+
+
+def drop_reason_counts_documents() -> str:
+    return f"""
+WITH qf AS ({quality_filter_documents().strip()}),
+r AS (
+  SELECT unnest(string_split(drop_reasons, ',')) AS reason
+  FROM qf WHERE drop_reasons <> ''
+)
+SELECT reason, COUNT(*) AS issue_count FROM r GROUP BY 1
+"""
