@@ -21,7 +21,7 @@ from ..functions import rulespec as R
 from ..functions.perplexity import scalar_perplexity
 
 _NULLISH = re.compile(R.NULLISH_RE)
-_LANG_PATTERNS = {lang: re.compile(R.lang_pattern(lang), re.ASCII) for lang in R.LANGS}
+_STOPSETS = {lang: set(R.STOPWORDS[lang]) for lang in R.LANGS}
 _LETTERS = re.compile(r"[^\W\d_]")  # unicode letters (== Java \p{L} here)
 _DIGITS = re.compile(r"[0-9]")
 _SPLIT = re.compile(r"\s+", re.ASCII)
@@ -40,7 +40,9 @@ def label_row(caption: str | None) -> dict:
     words = [w for w in words if w]
     n_words = len(words)
 
-    scores = {lang: len(_LANG_PATTERNS[lang].findall(low)) for lang in R.LANGS}
+    # token-membership stopword counting (matches the Spark InSet form)
+    lwords = _SPLIT.split(low) if low else []
+    scores = {lang: sum(1 for w in lwords if w in _STOPSETS[lang]) for lang in R.LANGS}
     lang, best = "und", 0
     for cand in R.LANGS:
         if scores[cand] > best:
@@ -55,7 +57,6 @@ def label_row(caption: str | None) -> dict:
         n = len(t)
         alpha = len(_LETTERS.findall(t)) / n if n else 0.0
         digit = len(_DIGITS.findall(t)) / n if n else 0.0
-        lwords = [w.lower() for w in low.split()]
         distinct = len(set(lwords)) / n_words if n_words else 1.0
         if n < R.MIN_CAPTION_CHARS:
             reasons.append(R.REASON_TOO_SHORT)

@@ -209,11 +209,18 @@ SELECT s_nationkey, s_suppkey, s_name, s_acctbal, rk FROM (
 
 # -------------------------------------------------- text / training ops ----
 
-def _lang_counts_sql(text_expr: str) -> str:
-    parts = [
-        f"len(regexp_extract_all(lower({text_expr}), '{R.lang_pattern(lang)}')) AS s_{lang}"
-        for lang in R.LANGS
-    ]
+def _tokens_sql(text_expr: str) -> str:
+    return f"string_split_regex(trim(lower({text_expr})), '\\s+')"
+
+
+def _lang_counts_sql(toks_expr: str) -> str:
+    """Token-membership stopword counts (twin of langid.stopword_hits)."""
+    parts = []
+    for lang in R.LANGS:
+        inlist = ", ".join(f"'{w}'" for w in R.STOPWORDS[lang])
+        parts.append(
+            f"len(list_filter({toks_expr}, x -> x IN ({inlist}))) AS s_{lang}"
+        )
     return ",\n       ".join(parts)
 
 
@@ -224,11 +231,13 @@ _LANG_CASE = """CASE WHEN m = 0 THEN 'und'
 
 def langid_documents() -> str:
     return f"""
-WITH sc AS (
-  SELECT doc_id, {_lang_counts_sql('text')},
+WITH tk AS (
+  SELECT doc_id, text, {_tokens_sql('text')} AS toks FROM documents
+), sc AS (
+  SELECT doc_id, {_lang_counts_sql('toks')},
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(string_split_regex(trim(text), '\\s+')) END AS words
-  FROM documents
+  FROM tk
 ), m AS (
   SELECT doc_id, s_en, s_de, s_fr, s_es, words,
          GREATEST(s_en, s_de, s_fr, s_es) AS m FROM sc
@@ -443,6 +452,9 @@ WITH base AS (
               THEN '{R.NULL_REPLACEMENT}' ELSE trim(COALESCE(text, '')) END AS t
   FROM documents
 ),
+tk AS (
+  SELECT doc_id, t, {_tokens_sql('t')} AS toks FROM base
+),
 feat AS (
   SELECT doc_id, t, length(t) AS n,
          CASE WHEN length(trim(t)) = 0 THEN 0
@@ -452,10 +464,9 @@ feat AS (
          CASE WHEN length(t) = 0 THEN 0.0
               ELSE length(regexp_replace(t, '[^0-9]', '', 'g')) * 1.0 / length(t) END AS digit,
          CASE WHEN length(trim(t)) = 0 THEN 1.0
-              ELSE len(list_distinct(string_split_regex(trim(lower(t)), '\\s+'))) * 1.0
-                   / len(string_split_regex(trim(lower(t)), '\\s+')) END AS distinct_ratio,
-         {_lang_counts_sql('t')}
-  FROM base
+              ELSE len(list_distinct(toks)) * 1.0 / len(toks) END AS distinct_ratio,
+         {_lang_counts_sql('toks')}
+  FROM tk
 ),
 lng AS (
   SELECT *, GREATEST(s_en, s_de, s_fr, s_es) AS m FROM feat
