@@ -1,0 +1,295 @@
+"""QualityChecker — the public API facade, mirroring the reference's
+``DataQualityChecker`` surface (``/root/reference/src/xoverrr/core.py:46``)
+re-expressed over one engine (Spark):
+
+- check_samples(source_table, target_table, ...)    core.py:193
+- check_counts(source_table, target_table, ...)     core.py:117
+- check_custom_queries(src_sql, trg_sql, keys, ...) core.py:749
+- check_sniff_query(sql, ...)                       core.py:620
+
+Differences by design (Spark-first, not a port):
+- "tables" are Spark-readable identifiers (``spark.table``) or DataFrames —
+  no per-DBMS adapters/engines; one Catalyst plan replaces generated SQL.
+- chunked date iteration (core.py:1447) is unnecessary inside one check —
+  a single distributed plan covers the range; incremental/resumable
+  execution lives in ``pipeline.runner``.
+- persistence appends to parquet/Iceberg run tables (persistence.py:236's
+  audit row, normalized).
+
+Return shapes match the reference: (status, report, stats, details) with
+status in {success, failed, skipped}, score semantics identical (see
+operators.diff golden tests).
+"""
+
+from __future__ import annotations
+
+import re
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import diff as D
+from .operators import counts as C
+from .operators import sniff as S
+from .reporting import (
+    render_counts_report,
+    render_samples_report,
+    render_sniff_report,
+    result_json,
+)
+
+_IDENT_RE = re.compile(r"^[a-zA-Z0-9_.]+$")  # reference models.py:48 guard
+
+
+class QualityChecker:
+    def __init__(self, spark: SparkSession, timezone: str = "UTC",
+                 results_table: str | None = None):
+        self.spark = spark
+        self.timezone = timezone
+        self.results_table = results_table
+        spark.conf.set("spark.sql.session.timeZone", timezone)
+
+    # ------------------------------------------------------------ helpers --
+
+    def _resolve(self, table) -> DataFrame:
+        if isinstance(table, DataFrame):
+            return table
+        if not _IDENT_RE.match(str(table)):
+            raise ValueError(f"invalid table identifier: {table!r}")
+        return self.spark.table(str(table))
+
+    @staticmethod
+    def _date_filter(df: DataFrame, date_column: str | None, date_range) -> DataFrame:
+        """Inclusive-day range semantics (reference P4: >= trunc(start),
+        < trunc(end) + 1 day)."""
+        if date_column and date_range:
+            start, end = date_range
+            c = F.to_date(F.col(date_column))
+            df = df.filter(
+                (c >= F.lit(start).cast("date"))
+                & (c < F.date_add(F.lit(end).cast("date"), 1))
+            )
+        return df
+
+    @staticmethod
+    def _recent_flag(df: DataFrame, update_column: str | None, hours: int | None) -> DataFrame:
+        """xrecently_changed projection (reference P5)."""
+        if update_column and hours:
+            flag = F.when(
+                F.col(update_column)
+                > F.current_timestamp() - F.expr(f"INTERVAL {int(hours)} HOURS"),
+                F.lit("y"),
+            )
+            df = df.withColumn("xrecently_changed", flag)
+        return df
+
+    @staticmethod
+    def _exclude_recent(src: DataFrame, trg: DataFrame, keys: list[str]):
+        """Mutual fresh-row exclusion (reference P6, utils.py:839-911)."""
+        col = "xrecently_changed"
+        sides = [df for df in (src, trg) if col in df.columns]
+        if not sides:
+            return src, trg
+        hot = None
+        for df in sides:
+            k = df.filter(F.col(col) == "y").select(*keys)
+            hot = k if hot is None else hot.unionByName(k)
+        hot = hot.distinct()
+        if col in src.columns:
+            src = src.drop(col)
+        if col in trg.columns:
+            trg = trg.drop(col)
+        return (
+            src.join(hot, keys, "left_anti"),
+            trg.join(hot, keys, "left_anti"),
+        )
+
+    @staticmethod
+    def _apply_column_policy(df: DataFrame, keys: list[str],
+                             include: list[str] | None, exclude: list[str] | None) -> DataFrame:
+        """Include/exclude with PK force-keep (reference P2, core.py:497-583)."""
+        cols = [c.lower() for c in df.columns]
+        keep = cols
+        if include:
+            keep = [c for c in cols if c in {x.lower() for x in include} or c in keys]
+        if exclude:
+            keep = [c for c in keep if c not in {x.lower() for x in exclude} or c in keys]
+        return df.select(*keep)
+
+    def _persist(self, record: dict) -> None:
+        if not self.results_table:
+            return
+        schema = ("run_id string, check_name string, check_type string, "
+                  "status string, final_score double, duration_s double")
+        try:
+            row = tuple(record[k] for k in
+                        ["run_id", "check_name", "check_type", "status",
+                         "final_score", "duration_s"])
+            self.spark.createDataFrame([row], schema).write.mode("append") \
+                .format("parquet").save(self.results_table)
+        except Exception as exc:  # reference swallows persist errors (persistence.py:285)
+            import warnings
+
+            warnings.warn(f"failed to persist check result: {exc}")
+
+    # ------------------------------------------------------------- checks --
+
+    def check_samples(
+        self,
+        source_table,
+        target_table,
+        check_name: str | None = None,
+        date_column: str | None = None,
+        update_column: str | None = None,
+        date_range: tuple[str, str] | None = None,
+        exclude_columns: list[str] | None = None,
+        include_columns: list[str] | None = None,
+        custom_primary_key: list[str] | None = None,
+        tolerance_pct: float = 0.0,
+        exclude_recent_hours: int | None = None,
+        max_examples: int = D.DEFAULT_MAX_EXAMPLES,
+        report_output_format: str = "text",
+    ):
+        run_id = uuid.uuid4().hex[:16]
+        t0 = time.time()
+        try:
+            if not custom_primary_key:
+                raise ValueError(
+                    "custom_primary_key is required (Spark has no PK catalog)"
+                )
+            keys = [k.lower() for k in custom_primary_key]
+            src = self._resolve(source_table)
+            trg = self._resolve(target_table)
+            src = self._date_filter(src, date_column, date_range)
+            trg = self._date_filter(trg, date_column, date_range)
+            src = self._recent_flag(src, update_column, exclude_recent_hours)
+            trg = self._recent_flag(trg, update_column, exclude_recent_hours)
+            src = self._apply_column_policy(src, keys, include_columns, exclude_columns)
+            trg = self._apply_column_policy(trg, keys, include_columns, exclude_columns)
+            src, trg = self._exclude_recent(src, trg, keys)
+            stats, details = D.compare_frames(src, trg, keys, max_examples)
+            status = D.check_status(stats, tolerance_pct)
+            report = render_samples_report(
+                check_name or "check_samples", run_id, status, stats, details,
+                tolerance_pct,
+            )
+            if report_output_format == "json":
+                report = result_json(check_name or "check_samples", run_id, status,
+                                     stats, details)
+            self._persist({
+                "run_id": run_id, "check_name": check_name or "check_samples",
+                "check_type": "samples", "status": status,
+                "final_score": stats.final_score if stats else None,
+                "duration_s": time.time() - t0,
+            })
+            return status, report, stats, details
+        except Exception as exc:
+            # reference wraps every failure into a FAILED result (core.py:174)
+            report = f"check failed with error: {exc}"
+            self._persist({
+                "run_id": run_id, "check_name": check_name or "check_samples",
+                "check_type": "samples", "status": D.CHECK_FAILED,
+                "final_score": None, "duration_s": time.time() - t0,
+            })
+            return D.CHECK_FAILED, report, None, None
+
+    def check_counts(
+        self,
+        source_table,
+        target_table,
+        check_name: str | None = None,
+        date_column: str | None = None,
+        date_range: tuple[str, str] | None = None,
+        tolerance_pct: float = 0.0,
+        report_output_format: str = "text",
+    ):
+        run_id = uuid.uuid4().hex[:16]
+        try:
+            if not date_column:
+                raise ValueError("date_column is required for check_counts")
+            src = self._date_filter(self._resolve(source_table), date_column, date_range)
+            trg = self._date_filter(self._resolve(target_table), date_column, date_range)
+            cstats = C.check_counts(src, trg, date_column)
+            if cstats.total_source == 0 and cstats.total_target == 0:
+                return D.CHECK_SKIPPED, "both sides empty", cstats, None
+            status = (
+                D.CHECK_SUCCESS if cstats.diff_pct <= tolerance_pct else D.CHECK_FAILED
+            )
+            disc = C.count_discrepancies(
+                C.daily_counts(src, date_column), C.daily_counts(trg, date_column)
+            ).limit(100).collect()
+            report = render_counts_report(
+                check_name or "check_counts", run_id, status, cstats, disc, tolerance_pct
+            )
+            self._persist({
+                "run_id": run_id, "check_name": check_name or "check_counts",
+                "check_type": "counts", "status": status,
+                "final_score": cstats.final_score, "duration_s": 0.0,
+            })
+            return status, report, cstats, disc
+        except Exception as exc:
+            return D.CHECK_FAILED, f"check failed with error: {exc}", None, None
+
+    def check_custom_queries(
+        self,
+        source_query: str,
+        target_query: str,
+        custom_primary_key: list[str],
+        check_name: str | None = None,
+        exclude_columns: list[str] | None = None,
+        tolerance_pct: float = 0.0,
+        max_examples: int = D.DEFAULT_MAX_EXAMPLES,
+        report_output_format: str = "text",
+    ):
+        """Same diff engine over arbitrary Spark SQL on both sides
+        (reference core.py:749; params are inlined — use Spark SQL named
+        parameters via ``spark.sql(q, args=...)`` upstream if needed)."""
+        run_id = uuid.uuid4().hex[:16]
+        try:
+            keys = [k.lower() for k in custom_primary_key]
+            src = self.spark.sql(source_query)
+            trg = self.spark.sql(target_query)
+            src = self._apply_column_policy(src, keys, None, exclude_columns)
+            trg = self._apply_column_policy(trg, keys, None, exclude_columns)
+            src, trg = self._exclude_recent(src, trg, keys)
+            stats, details = D.compare_frames(src, trg, keys, max_examples)
+            status = D.check_status(stats, tolerance_pct)
+            report = render_samples_report(
+                check_name or "check_custom_queries", run_id, status, stats,
+                details, tolerance_pct,
+            )
+            return status, report, stats, details
+        except Exception as exc:
+            return D.CHECK_FAILED, f"check failed with error: {exc}", None, None
+
+    def check_sniff_query(
+        self,
+        source_query: str,
+        check_name: str | None = None,
+        tolerance_pct: float = 0.0,
+        max_examples: int = D.DEFAULT_MAX_EXAMPLES,
+        report_output_format: str = "text",
+    ):
+        run_id = uuid.uuid4().hex[:16]
+        try:
+            df = self.spark.sql(source_query)
+            stats = S.evaluate_sniff(df)
+            status = (
+                D.CHECK_SUCCESS if stats.issue_rows_pct <= tolerance_pct else D.CHECK_FAILED
+            )
+            hist = S.sniff_histogram(df).collect()
+            examples = df.filter(F.col(S.XSNIFF_PASSED) == S.FLAG_NO).limit(max_examples).collect()
+            report = render_sniff_report(
+                check_name or "check_sniff_query", run_id, status, stats, hist,
+                examples, tolerance_pct,
+            )
+            self._persist({
+                "run_id": run_id, "check_name": check_name or "check_sniff_query",
+                "check_type": "sniff_query", "status": status,
+                "final_score": stats.final_score, "duration_s": 0.0,
+            })
+            return status, report, stats, examples
+        except Exception as exc:
+            return D.CHECK_FAILED, f"check failed with error: {exc}", None, None

@@ -1,0 +1,119 @@
+"""Text / JSON run reports — the shape of the reference's reporting layer
+(``/root/reference/src/xoverrr/reporting.py:208-503``): run header, score
+block, per-column breakdown, bounded examples, tolerance verdict.
+Driver-side string templating over already-aggregated numbers only.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+_RULE = "=" * 80
+
+
+def _header(check_name: str, run_id: str) -> list[str]:
+    return [
+        _RULE,
+        datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S"),
+        f"run_id: {run_id}",
+        f"check: {check_name}",
+    ]
+
+
+def _fmt(x) -> str:
+    if isinstance(x, float):
+        return f"{x:.5f}"
+    return str(x)
+
+
+def render_samples_report(check_name, run_id, status, stats, details, tolerance_pct) -> str:
+    lines = _header(check_name, run_id)
+    if stats is None:
+        lines += ["both sides empty -> SKIPPED", _RULE]
+        return "\n".join(lines)
+    lines += [
+        "",
+        f"source rows: {stats.total_source_rows}   target rows: {stats.total_target_rows}",
+        f"duplicates: src={stats.dup_source_rows} ({_fmt(stats.dup_source_rows_pct)}%)"
+        f"  trg={stats.dup_target_rows} ({_fmt(stats.dup_target_rows_pct)}%)",
+        f"key-only rows: src_only={stats.only_source_rows} ({_fmt(stats.source_only_rows_pct)}%)"
+        f"  trg_only={stats.only_target_rows} ({_fmt(stats.target_only_rows_pct)}%)",
+        f"comparable rows: {stats.comparable_rows}   matched: {stats.passed_rows}"
+        f"   issues: {_fmt(stats.issue_rows_pct)}%",
+        f"final score: {_fmt(stats.final_score)} (diff {_fmt(stats.final_diff_score)},"
+        f" tolerance {_fmt(tolerance_pct)}) -> {status.upper()}",
+    ]
+    if details and details.issue_breakdown:
+        lines += ["", "ISSUE BREAKDOWN (column: count):"]
+        lines += [f"  {c}: {n}" for c, n in details.issue_breakdown]
+    if details and details.issue_examples:
+        lines += ["", "EXAMPLES (pk | column | source -> target):"]
+        lines += [
+            f"  {e['primary_key']} | {e['column_name']} | "
+            f"{e['source_value']!r} -> {e['target_value']!r}"
+            for e in details.issue_examples
+        ]
+    lines.append(_RULE)
+    return "\n".join(lines)
+
+
+def render_counts_report(check_name, run_id, status, cstats, discrepancies, tolerance_pct) -> str:
+    lines = _header(check_name, run_id)
+    lines += [
+        "",
+        f"source total: {cstats.total_source}   target total: {cstats.total_target}",
+        f"abs diff sum: {cstats.diff_sum}   common sum: {cstats.common_sum}",
+        f"diff pct: {_fmt(cstats.diff_pct)} (tolerance {_fmt(tolerance_pct)})"
+        f" -> {status.upper()}",
+        f"mismatched days: {cstats.mismatched_days}",
+    ]
+    if discrepancies:
+        lines += ["", "DAY MISMATCHES (dt: src vs trg):"]
+        lines += [
+            f"  {r['dt']}: {r['src_cnt']} vs {r['trg_cnt']} (d={r['diff']})"
+            for r in discrepancies[:20]
+        ]
+    lines.append(_RULE)
+    return "\n".join(lines)
+
+
+def render_sniff_report(check_name, run_id, status, stats, histogram, examples, tolerance_pct) -> str:
+    lines = _header(check_name, run_id)
+    lines += [
+        "",
+        f"total rows: {stats.total_rows}   passed: {stats.passed_rows}"
+        f"   issues: {stats.issue_rows} ({_fmt(stats.issue_rows_pct)}%)",
+        f"final score: {_fmt(stats.final_score)} (tolerance {_fmt(tolerance_pct)})"
+        f" -> {status.upper()}",
+    ]
+    if histogram:
+        lines += ["", "STATUS VALUES:"]
+        lines += [f"  {r['status_value']}: {r['count']}" for r in histogram]
+    if examples:
+        lines += ["", f"ISSUE ROW EXAMPLES ({len(examples)}):"]
+        lines += [f"  {tuple(r)}" for r in examples]
+    lines.append(_RULE)
+    return "\n".join(lines)
+
+
+def result_json(check_name, run_id, status, stats, details) -> str:
+    """JSON envelope (reference CheckResult.to_dict, reporting.py:55-123)."""
+    from dataclasses import asdict
+
+    payload = {
+        "run_id": run_id,
+        "check_name": check_name,
+        "status": status,
+        "stats": asdict(stats) if stats else None,
+        "details": {
+            "issue_breakdown": [
+                {"column_name": c, "issue_count": n}
+                for c, n in (details.issue_breakdown if details else [])
+            ],
+            "issue_examples": details.issue_examples if details else [],
+            "source_only_keys_examples": list(details.source_only_keys_examples) if details else [],
+            "target_only_keys_examples": list(details.target_only_keys_examples) if details else [],
+        },
+    }
+    return json.dumps(payload, default=str)
