@@ -253,6 +253,14 @@ def q_quality_filter_docs(spark, sf_dir):
     )
 
 
+def q_drop_reason_examples(spark, sf_dir):
+    from xoverrr_spark.operators.sniff import drop_reason_examples
+
+    d = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "image_id")
+    out = quality_filter(d, caption_col="text", with_ppl=False)
+    return drop_reason_examples(out, key_col="image_id")
+
+
 def q_drop_reason_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "image_id")
     out = quality_filter(d, caption_col="text", with_ppl=False)
@@ -301,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": q_embedding_near_dups,
         "quality_filter_documents": q_quality_filter_docs,
         "drop_reason_counts_documents": q_drop_reason_counts,
+        "drop_reason_examples_documents": q_drop_reason_examples,
     }
 
 
@@ -332,4 +341,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_pairs": oracle.embedding_near_dup_pairs(),
         "quality_filter_documents": oracle.quality_filter_documents(),
         "drop_reason_counts_documents": oracle.drop_reason_counts_documents(),
+        "drop_reason_examples_documents": oracle.drop_reason_examples_documents(),
     }

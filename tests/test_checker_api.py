@@ -126,3 +126,15 @@ def test_results_persisted(checker, spark):
     runs = spark.read.parquet(checker.results_table)
     assert runs.count() >= 5
     assert {"run_id", "check_type", "status", "final_score"} <= set(runs.columns)
+
+
+def test_session_stats_and_quote_ident(checker, views):
+    from xoverrr_spark.checker import quote_ident
+
+    before = checker.session_stats["checked"]
+    checker.check_samples("api_orders", "api_orders", custom_primary_key=["o_orderkey"])
+    assert checker.session_stats["checked"] == before + 1
+    assert checker.session_stats["success"] >= 1
+    assert "api_orders" in checker.session_stats["tables"]
+    assert quote_ident("date") == "`date`"
+    assert quote_ident("o_orderkey") == "o_orderkey"

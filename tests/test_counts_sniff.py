@@ -80,3 +80,18 @@ def test_drop_reason_breakdown(spark):
         "id int, drop_reasons array<string>")
     rows = [(r["reason"], r["issue_count"]) for r in drop_reason_breakdown(df).collect()]
     assert rows == [("too_short", 2), ("toxic", 1)]
+
+
+def test_drop_reason_examples_capped(spark):
+    from xoverrr_spark.operators.sniff import drop_reason_examples
+
+    df = spark.createDataFrame(
+        [(i, ["too_short"] if i < 7 else ["toxic"]) for i in range(10)],
+        "image_id int, drop_reasons array<string>",
+    )
+    rows = drop_reason_examples(df, max_examples=3).collect()
+    by_reason = {}
+    for r in rows:
+        by_reason.setdefault(r["reason"], []).append(r["example_key"])
+    assert by_reason["too_short"] == [0, 1, 2]
+    assert by_reason["toxic"] == [7, 8, 9]

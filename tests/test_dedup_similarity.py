@@ -110,3 +110,14 @@ def test_lsh_topk_recalls_clone(emb):
 def test_embedding_near_dups(emb):
     nd = embedding_near_dups(emb, threshold=0.95).collect()
     assert {(r["id_a"], r["id_b"]) for r in nd} == {(100, 101)}
+
+
+def test_ivf_topk_recalls_clone(emb):
+    from xoverrr_spark.operators.similarity import ivf_topk
+    from pyspark.sql import functions as F
+
+    q = emb.filter(F.col("vec_id") == 100)
+    top = ivf_topk(emb, q, k=3, n_centroids=4, dim=8).collect()
+    # clone 101 lands in the same centroid cell as 100 by construction
+    assert any(r["neighbor_id"] == 101 for r in top)
+    assert all(1 <= r["rank"] <= 3 for r in top)

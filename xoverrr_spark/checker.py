@@ -30,6 +30,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .exceptions import MetadataError
+from .logger import get_logger
 from .operators import diff as D
 from .operators import counts as C
 from .operators import sniff as S
@@ -42,6 +44,19 @@ from .reporting import (
 
 _IDENT_RE = re.compile(r"^[a-zA-Z0-9_.]+$")  # reference models.py:48 guard
 
+# reference constants.py:11 — identifiers that need quoting in generated SQL
+RESERVED_WORDS = {"date", "comment", "file", "number", "mode", "successful"}
+
+_LOG = get_logger("checker")
+
+
+def quote_ident(name: str) -> str:
+    """Backtick-quote reserved/odd identifiers for Spark SQL text
+    (reference P3, adapters/base.py:85-89)."""
+    if name.lower() in RESERVED_WORDS or not _IDENT_RE.match(name):
+        return "`" + name.replace("`", "``") + "`"
+    return name
+
 
 class QualityChecker:
     def __init__(self, spark: SparkSession, timezone: str = "UTC",
@@ -50,6 +65,17 @@ class QualityChecker:
         self.timezone = timezone
         self.results_table = results_table
         spark.conf.set("spark.sql.session.timeZone", timezone)
+        # session-level run counters (reference core.py:89-115)
+        self.session_stats = {
+            "checked": 0, "success": 0, "failed": 0, "skipped": 0, "tables": set(),
+        }
+
+    def _track(self, status: str, *tables) -> None:
+        self.session_stats["checked"] += 1
+        self.session_stats[status] = self.session_stats.get(status, 0) + 1
+        for t in tables:
+            if isinstance(t, str):
+                self.session_stats["tables"].add(t)
 
     # ------------------------------------------------------------ helpers --
 
@@ -156,7 +182,7 @@ class QualityChecker:
         t0 = time.time()
         try:
             if not custom_primary_key:
-                raise ValueError(
+                raise MetadataError(
                     "custom_primary_key is required (Spark has no PK catalog)"
                 )
             keys = [k.lower() for k in custom_primary_key]
@@ -184,6 +210,8 @@ class QualityChecker:
                 "final_score": stats.final_score if stats else None,
                 "duration_s": time.time() - t0,
             })
+            self._track(status, source_table, target_table)
+            _LOG.info("check_samples run_id=%s status=%s", run_id, status)
             return status, report, stats, details
         except Exception as exc:
             # reference wraps every failure into a FAILED result (core.py:174)
@@ -193,6 +221,7 @@ class QualityChecker:
                 "check_type": "samples", "status": D.CHECK_FAILED,
                 "final_score": None, "duration_s": time.time() - t0,
             })
+            self._track(D.CHECK_FAILED, source_table, target_table)
             return D.CHECK_FAILED, report, None, None
 
     def check_counts(
@@ -228,8 +257,10 @@ class QualityChecker:
                 "check_type": "counts", "status": status,
                 "final_score": cstats.final_score, "duration_s": 0.0,
             })
+            self._track(status, source_table, target_table)
             return status, report, cstats, disc
         except Exception as exc:
+            self._track(D.CHECK_FAILED, source_table, target_table)
             return D.CHECK_FAILED, f"check failed with error: {exc}", None, None
 
     def check_custom_queries(
@@ -260,8 +291,10 @@ class QualityChecker:
                 check_name or "check_custom_queries", run_id, status, stats,
                 details, tolerance_pct,
             )
+            self._track(status)
             return status, report, stats, details
         except Exception as exc:
+            self._track(D.CHECK_FAILED)
             return D.CHECK_FAILED, f"check failed with error: {exc}", None, None
 
     def check_sniff_query(
@@ -290,6 +323,8 @@ class QualityChecker:
                 "check_type": "sniff_query", "status": status,
                 "final_score": stats.final_score, "duration_s": 0.0,
             })
+            self._track(status)
             return status, report, stats, examples
         except Exception as exc:
+            self._track(D.CHECK_FAILED)
             return D.CHECK_FAILED, f"check failed with error: {exc}", None, None

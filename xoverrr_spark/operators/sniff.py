@@ -55,6 +55,28 @@ def evaluate_sniff(df: DataFrame, flag_col: str = XSNIFF_PASSED) -> SniffStats:
     return SniffStats(total, total - issues, issues, pct, 100 - pct)
 
 
+def drop_reason_examples(
+    df: DataFrame,
+    key_col: str = "image_id",
+    reasons_col: str = "drop_reasons",
+    max_examples: int = 3,
+) -> DataFrame:
+    """Up to ``max_examples`` example keys per drop reason, deterministic
+    (the pipeline analogue of the reference's per-category example caps,
+    utils.py:285 / core.py:1290-1313)."""
+    from pyspark.sql.window import Window
+
+    exploded = df.select(
+        F.col(key_col).alias("example_key"), F.explode(reasons_col).alias("reason")
+    )
+    w = Window.partitionBy("reason").orderBy("example_key")
+    return (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_examples)
+        .select("reason", "example_key", "rn")
+    )
+
+
 def drop_reason_breakdown(df: DataFrame, reasons_col: str = "drop_reasons") -> DataFrame:
     """Generalized per-reason issue counters: explode the reasons array.
 

@@ -489,6 +489,22 @@ FROM lab
 """
 
 
+def drop_reason_examples_documents(max_examples: int = 3) -> str:
+    return f"""
+WITH qf AS ({quality_filter_documents().strip()}),
+r AS (
+  SELECT doc_id AS example_key, unnest(string_split(drop_reasons, ',')) AS reason
+  FROM qf WHERE drop_reasons <> ''
+),
+ranked AS (
+  SELECT reason, example_key,
+         CAST(ROW_NUMBER() OVER (PARTITION BY reason ORDER BY example_key) AS INTEGER) AS rn
+  FROM r
+)
+SELECT reason, example_key, rn FROM ranked WHERE rn <= {max_examples}
+"""
+
+
 def drop_reason_counts_documents() -> str:
     return f"""
 WITH qf AS ({quality_filter_documents().strip()}),
