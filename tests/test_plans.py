@@ -41,15 +41,15 @@ def test_date_filter_pushed_to_parquet(spark, sf_dir):
     assert pushed and "o_orderdate" in pushed[0], plan
 
 
-def test_small_side_broadcasts_in_diff(spark, sf_dir):
+def test_diff_is_single_shuffle_no_join(spark, sf_dir):
     src = spark.read.parquet(f"{sf_dir}/orders.parquet")
     trg = src.limit(100)
     j, _ = diff_joined(src, trg, ["o_orderkey"], normalize=False)
-    # full-outer join can't broadcast; classification joins that CAN (semi on
-    # a small key set) should. Assert the diff uses a sort-merge join without
-    # shuffling more than the two sides.
+    # the tagged-union formulation: ONE key-hash exchange, zero join operators
     plan = _plan(j)
-    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan) and "FullOuter" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan or "SortAggregate" in plan, plan
 
 
 def test_anti_join_broadcasts(spark, sf_dir):
