@@ -158,7 +158,10 @@ def run_pipeline(
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description="xoverrr_spark quality-filter runner")
-    ap.add_argument("--input", help="parquet path of the images table")
+    ap.add_argument("--input", help="images table: a parquet path, "
+                    "'iceberg:catalog.db.table', or 'table:name'")
+    ap.add_argument("--snapshot-id", type=int, default=None,
+                    help="pin an Iceberg snapshot for reproducible resume")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate a deterministic N-row fixture instead of --input")
     ap.add_argument("--seed", type=int, default=42)
@@ -177,7 +180,9 @@ def main(argv: list[str] | None = None) -> None:
 
         images = images_df(spark, args.synthetic, args.seed)
     elif args.input:
-        images = spark.read.parquet(args.input)
+        from ..sources import load_table
+
+        images = load_table(spark, args.input, args.snapshot_id)
     else:
         ap.error("need --input or --synthetic N")
     summary = run_pipeline(

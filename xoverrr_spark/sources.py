@@ -1,0 +1,57 @@
+"""Input-source resolution — the Spark analogue of the reference's
+per-DBMS adapter dispatch (``/root/reference/src/xoverrr/adapters/``):
+one engine, sources differ only by reader format.
+
+Accepted specs:
+- a filesystem path              -> ``spark.read.parquet`` (testdata, local)
+- ``iceberg:catalog.db.table``   -> Iceberg table scan (partition pruning,
+                                    snapshot reads; needs the Iceberg
+                                    runtime jar on the cluster — present in
+                                    production, absent in this sandbox,
+                                    detected and reported cleanly)
+- ``table:name`` / bare name     -> ``spark.table`` (any registered catalog
+                                    table or temp view)
+
+``snapshot_id`` pins an Iceberg snapshot for reproducible reruns (the
+resumable runner's input must not move between resume attempts).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .exceptions import QueryExecutionError
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def load_table(
+    spark: SparkSession, spec: str, snapshot_id: int | None = None
+) -> DataFrame:
+    if spec.startswith("iceberg:"):
+        ident = spec[len("iceberg:"):]
+        if not iceberg_available(spark):
+            raise QueryExecutionError(
+                "Iceberg runtime not on the classpath; add "
+                "org.apache.iceberg:iceberg-spark-runtime to spark.jars.packages "
+                "(this sandbox has no network — parquet paths cover local runs)"
+            )
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        return reader.load(ident)
+    if spec.startswith("table:"):
+        return spark.table(spec[len("table:"):])
+    if os.path.sep in spec or os.path.exists(spec):
+        return spark.read.parquet(spec)
+    return spark.table(spec)
