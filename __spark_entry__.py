@@ -100,6 +100,32 @@ def q_count_mismatch(spark, sf_dir):
     return count_discrepancies(s, t)
 
 
+def q_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id", k.alias("k"),
+        F.when(k > 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+def q_rollup_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.to_date("ts").alias("dt"), "value")
+        .rollup("event_type", "dt")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dt").cast("string"), F.lit("ALL")).alias("dt"),
+            "total_value", "n",
+        )
+    )
+
+
 def q_sniff_histogram(spark, sf_dir):
     return (
         _t(spark, sf_dir, "orders")
@@ -289,6 +315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_counts_events": q_daily_counts,
         "counts_crossfill_events": q_counts_crossfill,
         "count_mismatch_days": q_count_mismatch,
+        "json_extract_events": q_json_extract,
+        "rollup_events": q_rollup_events,
         "sniff_histogram_orders": q_sniff_histogram,
         "sniff_stats_orders": q_sniff_stats,
         "normalize_lineitem": q_normalize,
@@ -321,6 +349,8 @@ def oracle_sql() -> dict[str, str]:
         "daily_counts_events": oracle.daily_counts_events(),
         "counts_crossfill_events": oracle.counts_crossfill_events(),
         "count_mismatch_days": oracle.count_mismatch_days(),
+        "json_extract_events": oracle.json_extract_events(),
+        "rollup_events": oracle.rollup_events(),
         "sniff_histogram_orders": oracle.sniff_histogram_orders(),
         "sniff_stats_orders": oracle.sniff_stats_orders(),
         "normalize_lineitem": oracle.normalize_lineitem(),

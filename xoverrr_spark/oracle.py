@@ -207,6 +207,27 @@ SELECT s_nationkey, s_suppkey, s_name, s_acctbal, rk FROM (
 """
 
 
+def json_extract_events() -> str:
+    return """
+SELECT event_id, json_extract(props, '$.k')::INT AS k,
+       CASE WHEN json_extract(props, '$.k')::INT > 50 THEN 'high' ELSE 'low' END AS k_band
+FROM events
+"""
+
+
+def rollup_events() -> str:
+    # grouping keys stringified with an 'ALL' sentinel: rollup NULLs render
+    # differently across engines (None vs NaT) — a sentinel is unambiguous
+    return """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS dt,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+"""
+
+
 # -------------------------------------------------- text / training ops ----
 
 def _tokens_sql(text_expr: str) -> str:
