@@ -50,6 +50,14 @@ RESERVED_WORDS = {"date", "comment", "file", "number", "mode", "successful"}
 _LOG = get_logger("checker")
 
 
+def _merge_counts(dicts: list[dict]) -> dict:
+    out: dict = {}
+    for d in dicts:
+        for k, v in d.items():
+            out[k] = out.get(k, 0) + v
+    return out
+
+
 def quote_ident(name: str) -> str:
     """Backtick-quote reserved/odd identifiers for Spark SQL text
     (reference P3, adapters/base.py:85-89)."""
@@ -170,6 +178,7 @@ class QualityChecker:
         date_column: str | None = None,
         update_column: str | None = None,
         date_range: tuple[str, str] | None = None,
+        chunk_size_days: int | None = None,
         exclude_columns: list[str] | None = None,
         include_columns: list[str] | None = None,
         custom_primary_key: list[str] | None = None,
@@ -195,7 +204,37 @@ class QualityChecker:
             src = self._apply_column_policy(src, keys, include_columns, exclude_columns)
             trg = self._apply_column_policy(trg, keys, include_columns, exclude_columns)
             src, trg = self._exclude_recent(src, trg, keys)
-            stats, details = D.compare_frames(src, trg, keys, max_examples)
+
+            from .chunking import iter_date_chunks, merge_chunk_stats
+
+            chunks = (
+                iter_date_chunks(date_range[0], date_range[1], chunk_size_days)
+                if (date_column and date_range)
+                else [(None, None)]
+            )
+            if len(chunks) == 1:
+                stats, details = D.compare_frames(src, trg, keys, max_examples)
+            else:
+                # per-chunk jobs + accumulator merge (reference A10); one
+                # distributed plan would do — chunking bounds retry units
+                per, issue_dicts, details = [], [], None
+                for cs, ce in chunks:
+                    csrc = self._date_filter(src, date_column, (cs, ce))
+                    ctrg = self._date_filter(trg, date_column, (cs, ce))
+                    st, dt_ = D.compare_frames(
+                        csrc, ctrg, keys, max_examples,
+                        with_examples=details is None,
+                    )
+                    per.append(st)
+                    if st is not None and dt_ is not None:
+                        issue_dicts.append(dict(dt_.issue_breakdown))
+                        if details is None:
+                            details = dt_
+                stats = merge_chunk_stats(per, issue_dicts)
+                if details is not None and stats is not None:
+                    details.issue_breakdown = sorted(
+                        _merge_counts(issue_dicts).items(), key=lambda x: (-x[1], x[0])
+                    )
             status = D.check_status(stats, tolerance_pct)
             report = render_samples_report(
                 check_name or "check_samples", run_id, status, stats, details,
