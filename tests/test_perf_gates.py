@@ -1,0 +1,36 @@
+"""Perf gates mirroring the reference's embedded assertions
+(/root/reference/tests/unit/test_utils.py:159-160 — 10k x 11 cols < 1 s;
+:211 — 1M x 10 cols < 5 s, both single-process pandas).
+
+Margins here are wide (shared host with external load bursts); BENCH.md
+carries the tight measured numbers (1M x 10 diff ~1.4-2.0 s at local[32],
+vs the reference's ~3 s).
+"""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from xoverrr_spark.operators.diff import diff_stats_row
+
+
+def _frames(spark, n, cols):
+    src = spark.range(n).select(
+        F.col("id").alias("pk"),
+        *[(F.col("id") * k % 97).cast("string").alias(f"c{k}") for k in range(1, cols)],
+    )
+    trg = src.filter(F.col("pk") % 100 != 0)
+    return src, trg
+
+
+@pytest.mark.parametrize("n,cols,budget_s", [(10_000, 11, 8.0), (1_000_000, 10, 20.0)])
+def test_diff_perf_gate(spark, n, cols, budget_s):
+    src, trg = _frames(spark, n, cols)
+    diff_stats_row(src, trg, ["pk"], normalize=False).collect()  # warm
+    src, trg = _frames(spark, n, cols)
+    t0 = time.time()
+    row = diff_stats_row(src, trg, ["pk"], normalize=False).collect()[0]
+    dt = time.time() - t0
+    assert row["only_source_rows"] == n // 100
+    assert dt < budget_s, f"{n}x{cols} diff took {dt:.2f}s"

@@ -145,7 +145,7 @@ def run_pipeline(
     kept = sum(r["n_keep"] for r in lineage)
     drop_pct = (100.0 * (total - kept) / total) if total else 0.0
     status = "success" if drop_pct <= tolerance_drop_pct else "failed"
-    return {
+    summary = {
         "run_id": run_id,
         "n_buckets": n_buckets,
         "total_rows": total,
@@ -154,6 +154,12 @@ def run_pipeline(
         "status": status,
         "lineage": lineage,
     }
+    # run envelope on disk next to the outputs (reference persists one audit
+    # row per run, persistence.py:236; here: summary json + the lineage/
+    # metrics parquet dirs written per bucket above)
+    with open(os.path.join(output_dir, "run_summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+    return summary
 
 
 def main(argv: list[str] | None = None) -> None:
