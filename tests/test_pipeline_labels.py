@@ -94,3 +94,21 @@ def test_annotate_preserves_caption_bytes(spark, fixture_pdf):
     for gid in src.index[:100]:
         assert out.loc[gid, "caption"] == src.loc[gid, "caption"]
         assert bytes(out.loc[gid, "bytes"]) == bytes(src.loc[gid, "bytes"])
+
+
+def test_diff_engine_verifies_pipeline_against_golden(spark, fixture_pdf, golden):
+    """Dogfood: the diff engine IS the verification harness (SURVEY.md
+    mapping row 'compare_dataframes -> F1 harness'). Pipeline output diffed
+    against the independent golden labels must score exactly 100."""
+    from xoverrr_spark.operators.diff import compare_frames
+    from xoverrr_spark.fixtures.images import images_df
+
+    ours = (
+        quality_filter(images_df(spark, N, SEED))
+        .select("image_id", "keep", "caption_scrubbed")
+    )
+    g = golden.reset_index()[["image_id", "keep", "caption_scrubbed"]]
+    gdf = spark.createDataFrame(g)
+    stats, details = compare_frames(ours, gdf, ["image_id"])
+    assert stats.final_score == 100.0
+    assert stats.comparable_rows == N and stats.passed_rows == N

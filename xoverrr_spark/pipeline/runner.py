@@ -14,7 +14,7 @@ Scale design (10^12 images, per north_rule):
   Iceberg deployment this is the table's partition spec and each bucket job
   prunes to one partition (predicate pushdown, no full scan).
 - Skewed language clusters concentrate in few phash buckets, so each bucket
-  job **explicitly salts**: repartition by ``pmod(xxhash64(image_id), salt)``
+  job **explicitly salts**: repartition by ``xxhash64(image_id)``
   spreads a hot bucket across the whole cluster. The pipeline itself is
   map-only, so this is the only shuffle — and it is optional
   (``salt_partitions=0`` disables it when input file splits are already even).
@@ -107,10 +107,11 @@ def run_pipeline(
         t0 = time.time()
         part = bucketed.filter(F.col("bucket") == b).drop("bucket")
         if salt_partitions > 1:
-            # explicit skew salting: hot buckets spread over the cluster
-            part = part.repartition(
-                salt_partitions, F.pmod(F.xxhash64("image_id"), F.lit(salt_partitions))
-            )
+            # explicit skew salting: hot buckets spread over the cluster.
+            # Repartition by the full-cardinality hash, NOT pmod(hash, k):
+            # k distinct salt values get murmur3-hashed again and collide,
+            # leaving partitions empty (observed 4/8 filled).
+            part = part.repartition(salt_partitions, F.xxhash64("image_id"))
         decisions = quality_filter(part)
         dec_path = os.path.join(output_dir, "decisions", f"bucket={b}")
         decisions.write.mode("overwrite").parquet(dec_path)
