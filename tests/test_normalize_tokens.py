@@ -109,3 +109,14 @@ def test_quality_score_range(spark, sf_dir):
         F.min("q"), F.max("q")
     ).collect()[0]
     assert 0 <= r[0] <= r[1] <= 100
+
+
+def test_real_model_hooks_raise_cleanly_when_absent():
+    import pytest as _pytest
+
+    from xoverrr_spark.functions.models import fasttext_lang_udf, kenlm_ppl_udf
+
+    with _pytest.raises(NotImplementedError, match="fasttext"):
+        fasttext_lang_udf("/models/lid.176.bin")
+    with _pytest.raises(NotImplementedError, match="kenlm"):
+        kenlm_ppl_udf("/models/en.arpa.bin")
