@@ -231,6 +231,30 @@ def q_quality_score(spark, sf_dir):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality_score"))
 
 
+def q_stratified_sample(spark, sf_dir):
+    from xoverrr_spark.functions.tokens import deterministic_sample_flag
+
+    d = _t(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for lang, r in oracle.SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return d.filter(deterministic_sample_flag(F.col("doc_id"), rate)).select("doc_id", "lang")
+
+
+def q_vocab_top_terms(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    # distributed top-k (TakeOrderedAndProject) FIRST; the rank window then
+    # runs over only K rows — a global window over the full vocabulary
+    # would single-partition it
+    top = counts.orderBy(F.desc("freq"), "term").limit(oracle.VOCAB_TOP_K)
+    w = Window.orderBy(F.desc("freq"), "term")
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
@@ -329,6 +353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint,
         "quality_score_documents": q_quality_score,
         "exact_dedup_documents": q_exact_dedup,
+        "stratified_sample_documents": q_stratified_sample,
+        "vocab_top_terms": q_vocab_top_terms,
         "minhash_signatures_documents": q_minhash_signatures,
         "lsh_candidates_documents": q_lsh_candidates,
         "jaccard_pairs_documents": q_jaccard_pairs,
@@ -363,6 +389,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": oracle.fingerprint_documents(),
         "quality_score_documents": oracle.quality_score_documents(),
         "exact_dedup_documents": oracle.exact_dedup_documents(),
+        "stratified_sample_documents": oracle.stratified_sample_documents(),
+        "vocab_top_terms": oracle.vocab_top_terms(),
         "minhash_signatures_documents": oracle.minhash_signatures_documents(),
         "lsh_candidates_documents": oracle.lsh_candidates_documents(),
         "jaccard_pairs_documents": oracle.jaccard_pairs_documents(),

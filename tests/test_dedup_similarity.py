@@ -121,3 +121,27 @@ def test_ivf_topk_recalls_clone(emb):
     # clone 101 lands in the same centroid cell as 100 by construction
     assert any(r["neighbor_id"] == 101 for r in top)
     assert all(1 <= r["rank"] <= 3 for r in top)
+
+
+def test_cluster_near_dups_connected_components(spark):
+    from xoverrr_spark.operators.dedup import cluster_near_dups
+
+    # components: {1,2,3,4} (chain), {10,11}, singleton edges only
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a int, doc_b int")
+    labels = {r["doc_id"]: r["cluster_id"] for r in cluster_near_dups(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cluster_near_dups_on_real_lsh_pairs(spark):
+    from xoverrr_spark.operators.dedup import cluster_near_dups, minhash_near_dups
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_near_dups(docs, "doc_id", "text", jaccard_threshold=0.8)
+    labels = cluster_near_dups(pairs)
+    n_docs = labels.count()
+    n_clusters = labels.select("cluster_id").distinct().count()
+    assert n_docs > n_clusters  # at least one multi-doc cluster
+    # cluster_id is always the min doc_id of its component
+    bad = labels.filter("cluster_id > doc_id").count()
+    assert bad == 0

@@ -65,6 +65,16 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     )
 
 
+def deterministic_sample_flag(id_col: Column, rate_permille: Column) -> Column:
+    """Content-deterministic sampling: keep iff md5-int(id) % 1000 < rate.
+
+    Unlike ``df.sample``, the same row is always in or out regardless of
+    partitioning/retries — required for resumable pipelines — and the same
+    predicate replays in any engine (the DuckDB oracle verifies it).
+    """
+    return (md5_long(id_col.cast("string")) % 1000) < rate_permille
+
+
 def quality_score(c: Column) -> Column:
     """Composite 0-100 text-quality score from cheap ratios (a scoring
     analogue of the reference's weighted final score, utils.py:104-110):

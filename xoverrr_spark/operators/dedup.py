@@ -169,6 +169,56 @@ def ngram_jaccard(
     )
 
 
+def cluster_near_dups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id).
+
+    Iterative min-label propagation: every node repeatedly adopts the
+    smallest id reachable over one hop, until a fixed point (early-stop on
+    a changed-count aggregate). Near-dup components are shallow (stars /
+    short chains), so this converges in a few iterations; each iteration is
+    one join + one groupBy on doc_id. cluster_id = min doc_id of the
+    component; the canonical survivor of each cluster is its cluster_id.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per iter
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 SIMHASH_BITS = 48
 
 

@@ -308,6 +308,39 @@ FROM f
 """
 
 
+# per-language sampling rates (permille) for the stratified-sample query
+SAMPLE_RATES = {"en": 200, "de": 500, "fr": 500, "es": 500, "zh": 800}
+
+
+def stratified_sample_documents() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000
+      < (CASE {cases} ELSE 0 END)
+"""
+
+
+VOCAB_TOP_K = 50
+
+
+def vocab_top_terms() -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term, COUNT(*) AS freq FROM toks WHERE term <> '' GROUP BY term
+)
+SELECT term, freq, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS INTEGER) AS rank
+FROM counts
+QUALIFY rank <= {VOCAB_TOP_K}
+"""
+
+
 def exact_dedup_documents() -> str:
     # doubled corpus => every doc has exactly one clone
     return r"""
