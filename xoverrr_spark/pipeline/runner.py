@@ -176,6 +176,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--salt", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--verify-golden", action="store_true",
+                    help="(synthetic input only) diff decisions against the "
+                    "independent golden labeler and report F1 + score")
     ap.add_argument("--tolerance", type=float, default=100.0)
     args = ap.parse_args(argv)
 
@@ -197,7 +200,44 @@ def main(argv: list[str] | None = None) -> None:
         salt_partitions=args.salt, resume=not args.no_resume,
         tolerance_drop_pct=args.tolerance,
     )
+    if args.verify_golden:
+        if not args.synthetic:
+            ap.error("--verify-golden requires --synthetic (labels are derived)")
+        summary["verification"] = verify_against_golden(
+            spark, args.output, args.synthetic, args.seed
+        )
     print(json.dumps({k: v for k, v in summary.items() if k != "lineage"}))
+
+
+def verify_against_golden(spark, output_dir: str, n: int, seed: int) -> dict:
+    """The quality loop closed: diff the run's decisions against the
+    independent golden labeler via the diff engine itself (the reference's
+    compare_dataframes repurposed as the F1 harness, SURVEY.md mapping)."""
+    from ..fixtures.images import generate_images_pdf
+    from ..fixtures.labeler import label_frame
+    from ..operators.diff import compare_frames
+
+    golden_pdf = label_frame(generate_images_pdf(n, seed, with_bytes=False))[
+        ["image_id", "keep", "caption_scrubbed"]
+    ]
+    golden = spark.createDataFrame(golden_pdf)
+    ours = spark.read.parquet(os.path.join(output_dir, "decisions")).select(
+        "image_id", "keep", "caption_scrubbed"
+    )
+    stats, _ = compare_frames(ours, golden, ["image_id"])
+    tp = ours.alias("o").join(golden.alias("g"), "image_id").filter(
+        "o.keep AND g.keep").count()
+    ours_keep = ours.filter("keep").count()
+    golden_keep = golden.filter("keep").count()
+    precision = tp / ours_keep if ours_keep else 1.0
+    recall = tp / golden_keep if golden_keep else 1.0
+    f1 = (2 * precision * recall / (precision + recall)) if (precision + recall) else 0.0
+    return {
+        "keep_f1": f1,
+        "diff_score": stats.final_score,
+        "matched_rows": stats.passed_rows,
+        "comparable_rows": stats.comparable_rows,
+    }
 
 
 if __name__ == "__main__":
