@@ -38,6 +38,7 @@ from xoverrr_spark.operators.dedup import (
     minhash_signature,
     ngram_jaccard,
     simhash,
+    simhash_near_dups,
 )
 from xoverrr_spark.operators.diff import diff_classify, diff_stats_row
 from xoverrr_spark.operators.similarity import cosine_topk, embedding_near_dups
@@ -276,6 +277,10 @@ def q_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -359,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates_documents": q_lsh_candidates,
         "jaccard_pairs_documents": q_jaccard_pairs,
         "simhash_documents": q_simhash,
+        "simhash_near_dups_documents": q_simhash_near_dups,
         "ann_topk_embeddings": q_ann_topk,
         "embedding_near_dup_pairs": q_embedding_near_dups,
         "quality_filter_documents": q_quality_filter_docs,
@@ -395,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidates_documents": oracle.lsh_candidates_documents(),
         "jaccard_pairs_documents": oracle.jaccard_pairs_documents(),
         "simhash_documents": oracle.simhash_documents(),
+        "simhash_near_dups_documents": oracle.simhash_near_dups_documents(),
         "ann_topk_embeddings": oracle.ann_topk_embeddings(),
         "embedding_near_dup_pairs": oracle.embedding_near_dup_pairs(),
         "quality_filter_documents": oracle.quality_filter_documents(),

@@ -169,6 +169,48 @@ def ngram_jaccard(
     )
 
 
+SIMHASH_BANDS = 4  # pigeonhole: hamming <= 3 pairs share at least one band
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with simhash Hamming distance <=
+    ``max_hamming``.
+
+    Banded candidate generation (pigeonhole: a pair within distance d must
+    agree exactly on >= 1 of d+1 bands) keeps the join O(docs x bands) —
+    then one ``bit_count(xor)`` verifies exactly. Requires
+    SIMHASH_BANDS > max_hamming.
+    """
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError("max_hamming must be < SIMHASH_BANDS for the pigeonhole")
+    sig = simhash(df, id_col, text_col)
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask)).alias("bkey"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cands.filter(F.col("hamming") <= max_hamming)
+
+
 def cluster_near_dups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id).
 

@@ -440,6 +440,30 @@ SELECT doc_id, {assemble} AS simhash FROM bits
 """
 
 
+def simhash_near_dups_documents(max_hamming: int = 3) -> str:
+    from .operators.dedup import SIMHASH_BANDS
+
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
+    band_sel = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * band_bits}) & {mask} AS bkey FROM sig"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH sig AS ({simhash_documents().strip()}),
+bands AS (
+  {band_sel}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cands WHERE hamming <= {max_hamming}
+"""
+
+
 # ------------------------------------------------------------ similarity ----
 
 ANN_QUERY_MAX_ID = 8
