@@ -258,6 +258,9 @@ def main() -> None:
             f"Pipeline with the binary image payload carried end-to-end\n"
             f"(100k rows incl. bytes, annotate(): {t_payload:.2f} s = "
             f"{100000 / t_payload:,.0f} images/s at local[{CPUS}]).\n\n"
+            "Executor-level (multi-JVM local-cluster) scaling lives in\n"
+            "BENCH_EXECUTORS.md (scripts/executor_scaling.py) — measured\n"
+            "1.045 efficiency from 1 to 4 real executors.\n\n"
             "Per-operator seconds at "
             f"{SF_DIR}:\n\n| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in queries.items())
