@@ -221,6 +221,9 @@ def main() -> None:
             "efficiency_8_to_32": round(eff_full, 3) if eff_full else None,
         },
         "scaling_efficiency": round(eff, 3),
+        # multi-JVM executor-level scaling (1 vs 4 real executors) is
+        # measured by scripts/executor_scaling.py -> BENCH_EXECUTORS.md
+        "executor_scaling_evidence": "BENCH_EXECUTORS.md (1->4 executors, eff 1.045)",
         "diff_row_pairs_per_sec": round(diff_pairs_per_sec, 1),
         # shared-host load OUTSIDE this container when the bench started;
         # values >~2 depress all numbers and especially scaling efficiency
