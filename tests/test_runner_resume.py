@@ -67,3 +67,15 @@ def test_lineage_and_metrics_written(spark, tmp_path):
     met = spark.read.parquet(f"{out}/metrics").toPandas()
     assert {"reason", "issue_count", "run_id"} <= set(met.columns)
     assert s["status"] == "success"
+
+
+def test_concurrent_buckets_equal_serial(spark, tmp_path):
+    images = images_df(spark, 600, 13)
+    serial, conc = tmp_path / "ser", tmp_path / "conc"
+    s1 = run_pipeline(spark, images, str(serial), n_buckets=4, concurrency=1)
+    s2 = run_pipeline(spark, images, str(conc), n_buckets=4, concurrency=4)
+    assert s1["total_rows"] == s2["total_rows"] == 600
+    assert s1["kept_rows"] == s2["kept_rows"]
+    a, b = _decisions(spark, str(serial)), _decisions(spark, str(conc))
+    assert a["image_id"].tolist() == b["image_id"].tolist()
+    assert a["keep"].tolist() == b["keep"].tolist()

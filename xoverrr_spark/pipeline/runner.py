@@ -77,6 +77,54 @@ def completed_buckets(output_dir: str) -> dict[int, dict]:
     return out
 
 
+def _run_bucket(
+    spark: SparkSession,
+    bucketed: DataFrame,
+    output_dir: str,
+    run_id: str,
+    b: int,
+    salt_partitions: int,
+) -> dict:
+    """One bucket's unit of work: filter -> salt -> pipeline -> decisions +
+    metrics + lineage + completion marker. Safe to run concurrently with
+    other buckets (all outputs are bucket-scoped paths)."""
+    t0 = time.time()
+    part = bucketed.filter(F.col("bucket") == b).drop("bucket")
+    if salt_partitions > 1:
+        # explicit skew salting: hot buckets spread over the cluster.
+        # Repartition by the full-cardinality hash, NOT pmod(hash, k):
+        # k distinct salt values get murmur3-hashed again and collide,
+        # leaving partitions empty (observed 4/8 filled).
+        part = part.repartition(salt_partitions, F.xxhash64("image_id"))
+    decisions = quality_filter(part)
+    dec_path = os.path.join(output_dir, "decisions", f"bucket={b}")
+    decisions.write.mode("overwrite").parquet(dec_path)
+
+    dec_out = spark.read.parquet(dec_path)
+    metrics = drop_reason_breakdown(dec_out).withColumn("run_id", F.lit(run_id))
+    metrics.write.mode("overwrite").parquet(os.path.join(output_dir, "metrics", f"bucket={b}"))
+    counts = dec_out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_keep"),
+    ).collect()[0]
+    row = {
+        "run_id": run_id,
+        "bucket": b,
+        "n_rows": int(counts["n_rows"]),
+        "n_keep": int(counts["n_keep"]),
+        "started_at": t0,
+        "finished_at": time.time(),
+        "duration_s": time.time() - t0,
+        "skipped": False,
+    }
+    spark.createDataFrame(
+        [(run_id, b, row["n_rows"], row["n_keep"], row["duration_s"])],
+        "run_id string, bucket int, n_rows long, n_keep long, duration_s double",
+    ).write.mode("overwrite").parquet(os.path.join(output_dir, "lineage", f"bucket={b}"))
+    _mark_done(output_dir, b, row)
+    return row
+
+
 def run_pipeline(
     spark: SparkSession,
     images: DataFrame,
@@ -85,13 +133,18 @@ def run_pipeline(
     salt_partitions: int | None = None,
     resume: bool = True,
     tolerance_drop_pct: float = 100.0,
+    concurrency: int = 1,
     _fail_after_bucket: int | None = None,
 ) -> dict:
     """Run the quality filter bucket-by-bucket with checkpointed resume.
 
-    Returns a summary dict (run_id, totals, status, per-bucket lineage).
-    ``_fail_after_bucket`` injects a crash after that bucket completes
-    (kill/resume tests only).
+    ``concurrency > 1`` submits that many bucket jobs at once from driver
+    threads — the Spark scheduler interleaves their stages, keeping the
+    cluster busy when single buckets are too small to saturate it (each
+    bucket's outputs and marker are bucket-scoped, so completion stays
+    idempotent per bucket). Returns a summary dict (run_id, totals, status,
+    per-bucket lineage). ``_fail_after_bucket`` injects a crash after that
+    bucket completes (kill/resume tests only).
     """
     run_id = build_run_id()
     if salt_partitions is None:
@@ -99,48 +152,24 @@ def run_pipeline(
     done = completed_buckets(output_dir) if resume else {}
     bucketed = images.withColumn("bucket", F.pmod(F.col("phash"), F.lit(n_buckets)).cast("int"))
 
-    lineage = []
-    for b in range(n_buckets):
-        if b in done:
-            lineage.append({**done[b], "skipped": True})
-            continue
-        t0 = time.time()
-        part = bucketed.filter(F.col("bucket") == b).drop("bucket")
-        if salt_partitions > 1:
-            # explicit skew salting: hot buckets spread over the cluster.
-            # Repartition by the full-cardinality hash, NOT pmod(hash, k):
-            # k distinct salt values get murmur3-hashed again and collide,
-            # leaving partitions empty (observed 4/8 filled).
-            part = part.repartition(salt_partitions, F.xxhash64("image_id"))
-        decisions = quality_filter(part)
-        dec_path = os.path.join(output_dir, "decisions", f"bucket={b}")
-        decisions.write.mode("overwrite").parquet(dec_path)
+    lineage = [{**done[b], "skipped": True} for b in range(n_buckets) if b in done]
+    todo = [b for b in range(n_buckets) if b not in done]
+    if concurrency > 1 and _fail_after_bucket is None:
+        from concurrent.futures import ThreadPoolExecutor
 
-        dec_out = spark.read.parquet(dec_path)
-        metrics = drop_reason_breakdown(dec_out).withColumn("run_id", F.lit(run_id))
-        metrics.write.mode("overwrite").parquet(os.path.join(output_dir, "metrics", f"bucket={b}"))
-        counts = dec_out.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count(F.when(F.col("keep"), 1)).alias("n_keep"),
-        ).collect()[0]
-        row = {
-            "run_id": run_id,
-            "bucket": b,
-            "n_rows": int(counts["n_rows"]),
-            "n_keep": int(counts["n_keep"]),
-            "started_at": t0,
-            "finished_at": time.time(),
-            "duration_s": time.time() - t0,
-            "skipped": False,
-        }
-        spark.createDataFrame(
-            [(run_id, b, row["n_rows"], row["n_keep"], row["duration_s"])],
-            "run_id string, bucket int, n_rows long, n_keep long, duration_s double",
-        ).write.mode("overwrite").parquet(os.path.join(output_dir, "lineage", f"bucket={b}"))
-        _mark_done(output_dir, b, row)
-        lineage.append(row)
-        if _fail_after_bucket is not None and b >= _fail_after_bucket:
-            raise RuntimeError(f"injected failure after bucket {b}")
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            rows = pool.map(
+                lambda b: _run_bucket(spark, bucketed, output_dir, run_id, b, salt_partitions),
+                todo,
+            )
+            lineage.extend(rows)
+    else:
+        for b in todo:
+            lineage.append(
+                _run_bucket(spark, bucketed, output_dir, run_id, b, salt_partitions)
+            )
+            if _fail_after_bucket is not None and b >= _fail_after_bucket:
+                raise RuntimeError(f"injected failure after bucket {b}")
 
     total = sum(r["n_rows"] for r in lineage)
     kept = sum(r["n_keep"] for r in lineage)
@@ -176,6 +205,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--salt", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--concurrency", type=int, default=1,
+                    help="bucket jobs submitted concurrently (driver threads)")
     ap.add_argument("--verify-golden", action="store_true",
                     help="(synthetic input only) diff decisions against the "
                     "independent golden labeler and report F1 + score")
@@ -198,7 +229,7 @@ def main(argv: list[str] | None = None) -> None:
     summary = run_pipeline(
         spark, images, args.output, args.buckets,
         salt_partitions=args.salt, resume=not args.no_resume,
-        tolerance_drop_pct=args.tolerance,
+        tolerance_drop_pct=args.tolerance, concurrency=args.concurrency,
     )
     if args.verify_golden:
         if not args.synthetic:
