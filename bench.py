@@ -62,7 +62,7 @@ def _new_spark(cores: int):
         shuffle_partitions=max(cores, 8),
         # CPU-heavy map pipeline over one smallish local file: shrink split
         # size so every core gets tasks (production inputs are many files)
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(256 * 1024)},
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(1024 * 1024)},
     )
 
 
