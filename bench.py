@@ -223,7 +223,7 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         # multi-JVM executor-level scaling (1 vs 4 real executors) is
         # measured by scripts/executor_scaling.py -> BENCH_EXECUTORS.md
-        "executor_scaling_evidence": "BENCH_EXECUTORS.md (1->4 executors, eff 1.045)",
+        "executor_scaling_evidence": "BENCH_EXECUTORS.md (1->4 executors, eff 0.86-1.05 across runs)",
         "diff_row_pairs_per_sec": round(diff_pairs_per_sec, 1),
         # shared-host load OUTSIDE this container when the bench started;
         # values >~2 depress all numbers and especially scaling efficiency
