@@ -281,6 +281,21 @@ def q_simhash_near_dups(spark, sf_dir):
     return simhash_near_dups(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_minhash_near_dups(spark, sf_dir):
+    from xoverrr_spark.operators.dedup import minhash_near_dups
+
+    return minhash_near_dups(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", jaccard_threshold=0.5
+    )
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    from xoverrr_spark.operators.dedup import cluster_near_dups
+
+    pairs = simhash_near_dups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return cluster_near_dups(pairs)
+
+
 def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -365,6 +380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_documents": q_jaccard_pairs,
         "simhash_documents": q_simhash,
         "simhash_near_dups_documents": q_simhash_near_dups,
+        "minhash_near_dups_documents": q_minhash_near_dups,
+        "near_dup_clusters_documents": q_near_dup_clusters,
         "ann_topk_embeddings": q_ann_topk,
         "embedding_near_dup_pairs": q_embedding_near_dups,
         "quality_filter_documents": q_quality_filter_docs,
@@ -402,6 +419,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs_documents": oracle.jaccard_pairs_documents(),
         "simhash_documents": oracle.simhash_documents(),
         "simhash_near_dups_documents": oracle.simhash_near_dups_documents(),
+        "minhash_near_dups_documents": oracle.minhash_near_dups_documents(),
+        "near_dup_clusters_documents": oracle.near_dup_clusters_documents(),
         "ann_topk_embeddings": oracle.ann_topk_embeddings(),
         "embedding_near_dup_pairs": oracle.embedding_near_dup_pairs(),
         "quality_filter_documents": oracle.quality_filter_documents(),

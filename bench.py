@@ -86,27 +86,35 @@ def time_pipeline(cores: int, fixture: str, runs: int = 3) -> float:
     return best
 
 
+DIFF_BENCH_ROWS = 1_000_000
+
+
+def _diff_bench_frames(spark, n: int = DIFF_BENCH_ROWS):
+    """Fresh 1M x 10 src/trg pair each call — re-collecting the SAME
+    DataFrame would reuse its shuffle map outputs and time nothing."""
+    from pyspark.sql import functions as F
+
+    src = spark.range(n).select(
+        F.col("id").alias("pk"),
+        *[(F.col("id") * k % 997).cast("string").alias(f"c{k}") for k in range(1, 10)],
+    )
+    trg = src.filter(F.col("pk") % 1000 != 0).withColumn(
+        "c3", F.when(F.col("pk") % 500 == 0, F.lit("X")).otherwise(F.col("c3"))
+    )
+    return src, trg
+
+
 def time_diff_1m(spark) -> tuple[float, float]:
     """The reference's headline: two ~1M-row x 10-col frames diffed in ~3 s
     on one process (README.md:389). Same shape here: 1M keys, 9 value
     columns, 0.1% missing keys + engineered value diffs, full stats row.
     Returns (seconds, row_pairs_per_sec)."""
-    from pyspark.sql import functions as F
-
     from xoverrr_spark.operators.diff import diff_stats_row
 
-    n = 1_000_000
+    n = DIFF_BENCH_ROWS
 
     def build():
-        # fresh plan each time — re-collecting the SAME DataFrame would
-        # reuse its shuffle map outputs and time nothing
-        src = spark.range(n).select(
-            F.col("id").alias("pk"),
-            *[(F.col("id") * k % 997).cast("string").alias(f"c{k}") for k in range(1, 10)],
-        )
-        trg = src.filter(F.col("pk") % 1000 != 0).withColumn(
-            "c3", F.when(F.col("pk") % 500 == 0, F.lit("X")).otherwise(F.col("c3"))
-        )
+        src, trg = _diff_bench_frames(spark, n)
         return diff_stats_row(src, trg, ["pk"], normalize=False)
 
     build().collect()  # warm-up (JIT, codegen)
@@ -115,6 +123,22 @@ def time_diff_1m(spark) -> tuple[float, float]:
     dt = time.time() - t0
     assert row["comparable_rows"] == n - n // 1000
     return dt, n / dt
+
+
+def time_compare_full_1m(spark) -> float:
+    """FULL compare_frames on the same 1M x 10 shape: stats + classify key
+    examples + dup-key examples + issue examples. Single-pass (W4 r01): all
+    derivations ride ONE persisted diff_joined, so this should cost roughly
+    one cached-read more than the bare stats row — not ~5 recomputations."""
+    from xoverrr_spark.operators.diff import compare_frames
+
+    src, trg = _diff_bench_frames(spark)
+    t0 = time.time()
+    stats, details = compare_frames(src, trg, ["pk"], normalize=False)
+    dt = time.time() - t0
+    assert stats.comparable_rows == DIFF_BENCH_ROWS - DIFF_BENCH_ROWS // 1000
+    assert details.issue_examples and details.source_only_keys_examples
+    return dt
 
 
 def time_pipeline_with_payload(cores: int, rows: int = 100000) -> float:
@@ -197,6 +221,8 @@ def main() -> None:
     spark = _new_spark(CPUS)
     queries = run_operator_queries(spark)
     diff_sec, diff_pairs_per_sec = time_diff_1m(spark)
+    compare_full_sec = time_compare_full_1m(spark)
+    queries["compare_frames_full_1m"] = round(compare_full_sec, 3)
     queries[f"pipeline_local{SCALE_LOW}"] = round(t_low, 3)
     queries[f"pipeline_local{SCALE_HIGH}"] = round(t_high, 3)
     queries[f"pipeline_local{CPUS}"] = round(t_full, 3)
@@ -257,7 +283,12 @@ def main() -> None:
             f"x 10-col samples in ~3 s single-process (README.md:389). This\n"
             f"engine's diff over the same shape (incl. generation + both\n"
             f"dedup aggregations + full-outer join + stats): "
-            f"**{diff_sec:.2f} s** = {diff_pairs_per_sec:,.0f} row-pairs/s.\n\n"
+            f"**{diff_sec:.2f} s** = {diff_pairs_per_sec:,.0f} row-pairs/s.\n"
+            f"FULL compare_frames (stats + classify + dup-key + issue\n"
+            f"examples, single-pass over one persisted diff_joined):\n"
+            f"**{compare_full_sec:.2f} s** — the examples path adds\n"
+            f"{compare_full_sec / diff_sec:.2f}x the bare stats cost, not the\n"
+            f"~5x of the recompute-per-derivation formulation (W4 r01).\n\n"
             f"Pipeline with the binary image payload carried end-to-end\n"
             f"(100k rows incl. bytes, annotate(): {t_payload:.2f} s = "
             f"{100000 / t_payload:,.0f} images/s at local[{CPUS}]).\n\n"

@@ -125,7 +125,147 @@ def test_recent_exclusion(checker, spark):
 def test_results_persisted(checker, spark):
     runs = spark.read.parquet(checker.results_table)
     assert runs.count() >= 5
-    assert {"run_id", "check_type", "status", "final_score"} <= set(runs.columns)
+    assert {"run_id", "check_type", "status", "stats_final_score"} <= set(runs.columns)
+
+
+def test_audit_record_full_shape(checker, spark, views):
+    """Audit-row parity with the reference's persisted record (reference
+    persistence.py:290-317; column inventory mirrored from
+    tests/unit/test_persistence.py): base + timings + stats_* + details_*_json."""
+    import json as _json
+
+    from xoverrr_spark.persistence import (
+        AUDIT_COLUMNS,
+        DETAILS_JSON_FIELDS,
+        STATS_FLOAT_FIELDS,
+        STATS_INT_FIELDS,
+        TIMING_FIELDS,
+    )
+
+    status, _, stats, details = checker.check_samples(
+        "api_orders", "api_orders_trg", custom_primary_key=["o_orderkey"],
+        check_name="audit_shape_probe",
+    )
+    runs = spark.read.parquet(checker.results_table)
+    assert set(runs.columns) == set(AUDIT_COLUMNS)
+    # 19 base (run_id + 8 timings + 10 metadata) + 8 stats ints
+    # + 9 stats floats + 7 details_json = 43 columns
+    assert len(AUDIT_COLUMNS) == 43
+    row = runs.filter("check_name = 'audit_shape_probe'") \
+              .orderBy("run_started_at").collect()[-1].asDict()
+    # every stats_* numeric persisted, floats rounded to 5dp (persistence.py:35-38)
+    for f in STATS_INT_FIELDS:
+        assert row[f"stats_{f}"] == getattr(stats, f)
+    for f in STATS_FLOAT_FIELDS:
+        assert row[f"stats_{f}"] == round(float(getattr(stats, f)), 5)
+    # details_*_json round-trips
+    for f in DETAILS_JSON_FIELDS:
+        assert row[f"details_{f}_json"] is not None
+        _json.loads(row[f"details_{f}_json"])
+    bd = _json.loads(row["details_issue_breakdown_json"])
+    assert bd == [list(t) for t in details.issue_breakdown]
+    # timings recorded (R2): all 8 marks non-null for a successful run
+    for f in TIMING_FIELDS:
+        assert row[f] is not None, f
+
+
+def test_counts_and_sniff_persist_timings_and_score(checker, spark, views):
+    checker.check_counts(
+        "api_orders", "api_orders_trg", date_column="o_orderdate",
+        tolerance_pct=3.0, check_name="counts_timing_probe",
+    )
+    checker.check_sniff_query(
+        "SELECT o_orderkey, CASE WHEN o_totalprice > 0 THEN 'y' ELSE 'n' END AS xsniff_passed "
+        "FROM api_orders",
+        check_name="sniff_timing_probe",
+    )
+    runs = {r["check_name"]: r.asDict() for r in
+            spark.read.parquet(checker.results_table)
+            .filter("check_name LIKE '%_timing_probe'").collect()}
+    for name in ("counts_timing_probe", "sniff_timing_probe"):
+        row = runs[name]
+        assert row["stats_final_score"] is not None
+        assert row["dataset_check_started_at"] is not None
+        assert row["dataset_check_finished_at"] is not None
+        assert row["run_finished_at"] >= row["run_started_at"]
+    assert runs["sniff_timing_probe"]["source_query"].startswith("SELECT o_orderkey")
+
+
+def test_json_envelope_all_check_types(checker, views):
+    q = ("SELECT o_orderkey, CASE WHEN o_totalprice > 0 THEN 'y' ELSE 'n' END "
+         "AS xsniff_passed FROM api_orders")
+    _, rep_counts, *_ = checker.check_counts(
+        "api_orders", "api_orders_trg", date_column="o_orderdate",
+        tolerance_pct=3.0, report_output_format="json",
+    )
+    _, rep_sniff, *_ = checker.check_sniff_query(q, report_output_format="json")
+    _, rep_custom, *_ = checker.check_custom_queries(
+        "SELECT o_orderkey, o_totalprice FROM api_orders WHERE o_orderkey % 10 = 0",
+        "SELECT o_orderkey, o_totalprice FROM api_orders WHERE o_orderkey % 10 = 0",
+        custom_primary_key=["o_orderkey"], report_output_format="json",
+    )
+    for rep, ctype in ((rep_counts, "counts"), (rep_sniff, "sniff_query"),
+                       (rep_custom, "custom_queries")):
+        payload = json.loads(rep)
+        assert payload["check_type"] == ctype
+        assert payload["status"] == "success"
+        assert payload["stats"]["final_score"] is not None
+        assert payload["report"]  # embedded text report (reference CheckResult.report)
+
+
+def test_invalid_report_format_fails(checker, views):
+    status, report, *_ = checker.check_samples(
+        "api_orders", "api_orders", custom_primary_key=["o_orderkey"],
+        report_output_format="xml",
+    )
+    assert status == "failed" and "report_output_format" in report
+
+
+def test_custom_queries_named_bind_params(checker, views):
+    status, _, stats, _ = checker.check_custom_queries(
+        "SELECT o_orderkey, o_totalprice FROM api_orders WHERE o_orderkey <= :maxkey",
+        "SELECT o_orderkey, o_totalprice FROM api_orders WHERE o_orderkey <= :maxkey",
+        custom_primary_key=["o_orderkey"],
+        source_params={"maxkey": 1000}, target_params={"maxkey": 1000},
+    )
+    assert status == "success"
+    assert 0 < stats.total_source_rows == stats.total_target_rows
+
+
+def test_sniff_named_bind_params(checker, views):
+    status, _, stats, _ = checker.check_sniff_query(
+        "SELECT o_orderkey, CASE WHEN o_totalprice > :floor THEN 'y' ELSE 'n' END "
+        "AS xsniff_passed FROM api_orders",
+        params={"floor": 0},
+    )
+    assert status == "success" and stats.final_score == 100.0
+
+
+def test_custom_queries_chunked_equals_unchunked(checker, views):
+    q_src = "SELECT o_orderkey, o_orderdate, o_totalprice FROM api_orders"
+    q_trg = "SELECT o_orderkey, o_orderdate, o_totalprice FROM api_orders_trg"
+    kw = dict(
+        custom_primary_key=["o_orderkey"], date_column="o_orderdate",
+        date_range=("1995-01-01", "1995-06-30"),
+    )
+    _, _, whole, _ = checker.check_custom_queries(q_src, q_trg, **kw)
+    _, _, chunked, _ = checker.check_custom_queries(
+        q_src, q_trg, chunk_size_days=45, **kw)
+    assert chunked.total_source_rows == whole.total_source_rows
+    assert chunked.passed_rows == whole.passed_rows
+    assert chunked.final_diff_score == pytest.approx(whole.final_diff_score)
+
+
+def test_sniff_chunked_equals_unchunked(checker, views):
+    q = ("SELECT o_orderkey, o_orderdate, CASE WHEN o_orderkey % 100 = 0 THEN 'n' "
+         "ELSE 'y' END AS xsniff_passed FROM api_orders")
+    kw = dict(date_column="o_orderdate", date_range=("1995-01-01", "1995-06-30"),
+              tolerance_pct=5.0)
+    _, _, whole, _ = checker.check_sniff_query(q, **kw)
+    _, _, chunked, _ = checker.check_sniff_query(q, chunk_size_days=45, **kw)
+    assert chunked.total_rows == whole.total_rows
+    assert chunked.issue_rows == whole.issue_rows
+    assert chunked.final_score == pytest.approx(whole.final_score)
 
 
 def test_session_stats_and_quote_ident(checker, views):

@@ -108,8 +108,62 @@ def test_lsh_topk_recalls_clone(emb):
 
 
 def test_embedding_near_dups(emb):
-    nd = embedding_near_dups(emb, threshold=0.95).collect()
+    nd = embedding_near_dups(emb, threshold=0.95, dim=8).collect()
     assert {(r["id_a"], r["id_b"]) for r in nd} == {(100, 101)}
+
+
+def test_embedding_near_dups_recall_vs_bruteforce(spark):
+    from xoverrr_spark.operators.similarity import embedding_near_dups_exact
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"])
+             for r in embedding_near_dups_exact(emb, threshold=0.42).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in embedding_near_dups(emb, threshold=0.42).collect()}
+    assert lsh <= exact          # rerank is exact -> no false positives
+    assert exact                 # fixture yields a non-empty pair set
+    assert len(lsh) / len(exact) >= 0.7  # banded-LSH recall at the threshold
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    # 300 identical docs: every band bucket holds all 300 -> the self-join
+    # would build 44850 pairs x 4 bands; the cap drops those buckets
+    # entirely (exact-dup territory, handled by exact_dedup upstream).
+    docs = spark.range(300).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.lit("same boilerplate text repeated across every doc").alias("text"),
+    )
+    sig = minhash_signature(docs, "doc_id", "text")
+    assert lsh_candidate_pairs(sig, max_bucket_size=200).count() == 0
+    assert lsh_candidate_pairs(sig, max_bucket_size=None).count() == 300 * 299 // 2
+
+
+def test_simhash_bucket_cap_bounds_degenerate_corpus(spark):
+    from xoverrr_spark.operators.dedup import simhash_near_dups
+
+    docs = spark.range(300).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.lit("same boilerplate text repeated across every doc").alias("text"),
+    )
+    assert simhash_near_dups(docs, "doc_id", "text", max_bucket_size=200).count() == 0
+    assert (
+        simhash_near_dups(docs, "doc_id", "text", max_bucket_size=None).count()
+        == 300 * 299 // 2
+    )
+
+
+def test_candidate_jaccard_matches_ngram_jaccard(docs):
+    from xoverrr_spark.operators.dedup import candidate_jaccard
+
+    full = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard(docs, "doc_id", "text").collect()}
+    cands = docs.sparkSession.createDataFrame(
+        [(1, 2), (1, 4)], "doc_a int, doc_b int")
+    restricted = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                  for r in candidate_jaccard(docs, "doc_id", "text", cands).collect()}
+    assert set(restricted) == {(1, 2), (1, 4)}
+    for k, v in restricted.items():
+        assert v == pytest.approx(full[k])
 
 
 def test_ivf_topk_recalls_clone(emb):
@@ -131,6 +185,27 @@ def test_cluster_near_dups_connected_components(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a int, doc_b int")
     labels = {r["doc_id"]: r["cluster_id"] for r in cluster_near_dups(pairs).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cluster_long_chain_converges_by_pointer_doubling(spark):
+    from xoverrr_spark.operators.dedup import cluster_near_dups
+
+    # a 100-node path: one-hop min propagation needs 99 iterations; the
+    # doubling hop converges in O(log n) — well inside max_iter=10
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "doc_a int, doc_b int")
+    labels = cluster_near_dups(pairs, max_iter=10).collect()
+    assert len(labels) == 100
+    assert all(r["cluster_id"] == 0 for r in labels)
+
+
+def test_cluster_raises_instead_of_splitting(spark):
+    from xoverrr_spark.operators.dedup import ClusteringNotConverged, cluster_near_dups
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "doc_a int, doc_b int")
+    with pytest.raises(ClusteringNotConverged):
+        cluster_near_dups(pairs, max_iter=2)
 
 
 def test_cluster_near_dups_on_real_lsh_pairs(spark):

@@ -134,3 +134,44 @@ def test_issue_examples_capped(spark):
     assert stats.passed_rows == 0
     assert len(details.issue_examples) == 3
     assert all(e["column_name"] == "v" for e in details.issue_examples)
+
+
+def test_dup_key_examples_compound_pk(spark):
+    # duplicate compound PK fixture shape from reference
+    # tests/unit/test_utils.py:503-533 (duplicate (1,'A') in source)
+    schema = "key1 int, key2 string, value int"
+    src = _df(spark, [(1, "A", 10), (1, "A", 20), (1, "B", 30), (2, "A", 40)], schema)
+    trg = _df(spark, [(1, "A", 10), (1, "B", 30), (2, "A", 40), (3, "A", 50)], schema)
+    stats, details = compare_frames(src, trg, ["key1", "key2"], normalize=False)
+    assert stats.dup_source_rows == 1 and stats.dup_target_rows == 0
+    assert details.dup_source_keys_examples == ((1, "A"),)
+    assert details.dup_target_keys_examples == ()
+    # with normalize=True the keys come back canonicalized (strings)
+    _, details_n = compare_frames(src, trg, ["key1", "key2"])
+    assert details_n.dup_source_keys_examples == (("1", "A"),)
+
+
+def test_dup_key_examples_capped_and_sorted(spark):
+    schema = "pk int, value string"
+    src = _df(spark, [(i, "x") for i in range(1, 7)], schema)
+    trg = _df(spark, [(i, "x") for i in range(1, 7) for _ in range(2)], schema)
+    stats, details = compare_frames(src, trg, ["pk"], max_examples=3, normalize=False)
+    assert stats.dup_target_rows == 6
+    # deterministic: the 3 smallest duplicate keys
+    assert details.dup_target_keys_examples == (1, 2, 3)
+    assert details.dup_source_keys_examples == ()
+
+
+def test_null_vs_value_counted_null_safe(spark):
+    # ADVICE r01: with normalize=False a NULL-vs-value mismatch must hit the
+    # per-column counter (NOT <=>), keeping issue_breakdown consistent with
+    # passed_rows (struct equality, null-aware)
+    schema = "id int, v string"
+    src = _df(spark, [(1, None), (2, "x")], schema)
+    trg = _df(spark, [(1, "y"), (2, "x")], schema)
+    stats, details = compare_frames(src, trg, ["id"], normalize=False)
+    assert stats.passed_rows == 1
+    assert details.issue_breakdown == [("v", 1)]
+    assert stats.max_issue_pct == pytest.approx(50.0)
+    ex = details.issue_examples
+    assert len(ex) == 1 and ex[0]["source_value"] is None and ex[0]["target_value"] == "y"

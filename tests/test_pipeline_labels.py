@@ -112,3 +112,33 @@ def test_diff_engine_verifies_pipeline_against_golden(spark, fixture_pdf, golden
     stats, details = compare_frames(ours, gdf, ["image_id"])
     assert stats.final_score == 100.0
     assert stats.comparable_rows == N and stats.passed_rows == N
+
+
+def test_pipeline_with_sparkfiles_artifact(spark, tmp_path):
+    """End-to-end artifact distribution (VERDICT r01 #10): train a tiny
+    char-LM, save it, ship via sc.addFile, and run the pipeline with the
+    artifact-backed scorer — trained on the built-in seed corpus, the
+    scores must be bit-identical to the embedded-table UDF."""
+    from xoverrr_spark.fixtures.images import images_df
+    from xoverrr_spark.functions.models import (
+        artifact_ppl_udf,
+        train_char_bigram_artifact,
+    )
+    from xoverrr_spark.functions.perplexity import _SEED_CORPUS
+    from xoverrr_spark.pipeline.quality_filter import quality_filter
+
+    path = str(tmp_path / "charlm.npz")
+    train_char_bigram_artifact(_SEED_CORPUS, path)
+    spark.sparkContext.addFile(path)
+
+    df = images_df(spark, 80, 5)
+    with_artifact = {
+        r["image_id"]: (r["ppl"], r["keep"])
+        for r in quality_filter(df, ppl_udf_override=artifact_ppl_udf("charlm.npz")).collect()
+    }
+    builtin = {
+        r["image_id"]: (r["ppl"], r["keep"])
+        for r in quality_filter(df).collect()
+    }
+    assert with_artifact == builtin
+    assert len(with_artifact) == 80

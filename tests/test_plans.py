@@ -69,6 +69,31 @@ def test_pipeline_single_python_hop(spark, tmp_path):
     assert "BatchEvalPython" not in plan  # no row-at-a-time python
 
 
+def test_embedding_near_dups_no_cartesian(spark):
+    from xoverrr_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_near_dups(emb, threshold=0.42))
+    # W2 fix: candidates come from a band-bucket equi-join, never a
+    # broadcast of / cartesian over the corpus
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_minhash_verify_is_candidate_bounded(spark):
+    from xoverrr_spark.operators.dedup import minhash_near_dups
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    nd = minhash_near_dups(docs, "doc_id", "text")
+    plan = nd._jdf.queryExecution().optimizedPlan().toString()
+    # W1 fix: the exact-Jaccard verify joins candidate pairs to per-doc
+    # shingle arrays — there must be NO join keyed on shingle_hash (the
+    # full-corpus co-occurrence self-join) anywhere in the plan
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert join_lines, plan
+    assert not any("shingle_hash" in l for l in join_lines), join_lines
+
+
 def test_pipeline_no_shuffle(spark, tmp_path):
     from xoverrr_spark.fixtures.images import images_df
 
@@ -76,3 +101,48 @@ def test_pipeline_no_shuffle(spark, tmp_path):
     images_df(spark, 50, 3).write.parquet(p)
     plan = _plan(quality_filter(spark.read.parquet(p)))
     assert "Exchange" not in plan, plan
+
+
+def test_runner_bucket_scan_is_partition_pruned(spark, tmp_path):
+    # W5 fix: the runner stages the input partitioned by bucket, so each
+    # bucket job's filter is a PARTITION filter (reads 1/n of the files),
+    # not a post-scan predicate over the full input
+    from xoverrr_spark.fixtures.images import images_df
+    from xoverrr_spark.pipeline.runner import stage_bucketed_input
+
+    staged = stage_bucketed_input(
+        spark, images_df(spark, 120, 11), str(tmp_path / "run"), n_buckets=8
+    )
+    plan = _formatted(staged.filter(F.col("bucket") == 3))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "bucket" in pf[0], plan
+    # and no post-scan data filter on bucket remains (ideally the scan has
+    # no PushedFilters line at all — the predicate is purely partition-level)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert not pushed or "bucket" not in pushed[0], plan
+
+
+def test_diff_derivations_reuse_persisted_joined(spark, sf_dir):
+    # W4 fix: compare_frames persists diff_joined once; classify / examples
+    # must read the cache, not rebuild the scan+shuffle
+    from xoverrr_spark.operators.diff import (
+        _classify_from_joined,
+        _issue_examples_from_joined,
+        _stats_row_from_joined,
+        diff_joined,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    trg = src.limit(500)
+    j, vals = diff_joined(src, trg, ["o_orderkey"], normalize=False)
+    j = j.persist()
+    try:
+        _stats_row_from_joined(j, vals).collect()  # materializes the cache
+        for derived in (
+            _classify_from_joined(j, vals, ["o_orderkey"]),
+            _issue_examples_from_joined(j, vals, ["o_orderkey"]),
+        ):
+            plan = _plan(derived)
+            assert "InMemoryTableScan" in plan, plan
+    finally:
+        j.unpersist()

@@ -24,7 +24,6 @@ operators.diff golden tests).
 from __future__ import annotations
 
 import re
-import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,11 +34,17 @@ from .logger import get_logger
 from .operators import diff as D
 from .operators import counts as C
 from .operators import sniff as S
+from .persistence import (
+    CheckRunTimings,
+    build_audit_record,
+    persist_audit_record,
+)
 from .reporting import (
+    check_result_json,
     render_counts_report,
     render_samples_report,
     render_sniff_report,
-    result_json,
+    validate_report_output_format,
 )
 
 _IDENT_RE = re.compile(r"^[a-zA-Z0-9_.]+$")  # reference models.py:48 guard
@@ -152,17 +157,18 @@ class QualityChecker:
             keep = [c for c in keep if c not in {x.lower() for x in exclude} or c in keys]
         return df.select(*keep)
 
-    def _persist(self, record: dict) -> None:
+    def _persist(self, stats_overrides: dict | None = None, **payload) -> None:
+        """Append the full ~45-column audit row (reference persistence.py:
+        290-317 record shape; see persistence.build_audit_record).
+        ``stats_overrides`` fills individual stats_* columns for check types
+        whose stats dataclass differs from CheckStats (counts/sniff)."""
         if not self.results_table:
             return
-        schema = ("run_id string, check_name string, check_type string, "
-                  "status string, final_score double, duration_s double")
         try:
-            row = tuple(record[k] for k in
-                        ["run_id", "check_name", "check_type", "status",
-                         "final_score", "duration_s"])
-            self.spark.createDataFrame([row], schema).write.mode("append") \
-                .format("parquet").save(self.results_table)
+            rec = build_audit_record(timezone=self.timezone, **payload)
+            for k, v in (stats_overrides or {}).items():
+                rec[f"stats_{k}"] = v
+            persist_audit_record(self.spark, rec, self.results_table)
         except Exception as exc:  # reference swallows persist errors (persistence.py:285)
             import warnings
 
@@ -188,21 +194,26 @@ class QualityChecker:
         report_output_format: str = "text",
     ):
         run_id = uuid.uuid4().hex[:16]
-        t0 = time.time()
+        timings = CheckRunTimings(run_started_at=CheckRunTimings.now())
         try:
+            fmt = validate_report_output_format(report_output_format)
             if not custom_primary_key:
                 raise MetadataError(
                     "custom_primary_key is required (Spark has no PK catalog)"
                 )
             keys = [k.lower() for k in custom_primary_key]
+            timings.mark_query_start("source")
             src = self._resolve(source_table)
-            trg = self._resolve(target_table)
             src = self._date_filter(src, date_column, date_range)
-            trg = self._date_filter(trg, date_column, date_range)
             src = self._recent_flag(src, update_column, exclude_recent_hours)
-            trg = self._recent_flag(trg, update_column, exclude_recent_hours)
             src = self._apply_column_policy(src, keys, include_columns, exclude_columns)
+            timings.mark_query_end("source")
+            timings.mark_query_start("target")
+            trg = self._resolve(target_table)
+            trg = self._date_filter(trg, date_column, date_range)
+            trg = self._recent_flag(trg, update_column, exclude_recent_hours)
             trg = self._apply_column_policy(trg, keys, include_columns, exclude_columns)
+            timings.mark_query_end("target")
             src, trg = self._exclude_recent(src, trg, keys)
 
             from .chunking import iter_date_chunks, merge_chunk_stats
@@ -212,6 +223,7 @@ class QualityChecker:
                 if (date_column and date_range)
                 else [(None, None)]
             )
+            timings.mark_dataset_check_start()
             if len(chunks) == 1:
                 stats, details = D.compare_frames(src, trg, keys, max_examples)
             else:
@@ -235,31 +247,41 @@ class QualityChecker:
                     details.issue_breakdown = sorted(
                         _merge_counts(issue_dicts).items(), key=lambda x: (-x[1], x[0])
                     )
+            timings.mark_dataset_check_end()
             status = D.check_status(stats, tolerance_pct)
-            report = render_samples_report(
+            text_report = render_samples_report(
                 check_name or "check_samples", run_id, status, stats, details,
                 tolerance_pct,
             )
-            if report_output_format == "json":
-                report = result_json(check_name or "check_samples", run_id, status,
-                                     stats, details)
-            self._persist({
-                "run_id": run_id, "check_name": check_name or "check_samples",
-                "check_type": "samples", "status": status,
-                "final_score": stats.final_score if stats else None,
-                "duration_s": time.time() - t0,
-            })
+            report = text_report
+            if fmt == "json":
+                report = check_result_json(
+                    run_id=run_id, check_type="samples", status=status,
+                    check_name=check_name or "check_samples", report=text_report,
+                    source_table=source_table if isinstance(source_table, str) else None,
+                    target_table=target_table if isinstance(target_table, str) else None,
+                    timezone=self.timezone, stats=stats, details=details,
+                )
+            timings.finish_run()
+            self._persist(
+                run_id=run_id, check_type="samples", status=status,
+                check_name=check_name or "check_samples",
+                source_table=source_table, target_table=target_table,
+                report=text_report, stats=stats, details=details, timings=timings,
+            )
             self._track(status, source_table, target_table)
             _LOG.info("check_samples run_id=%s status=%s", run_id, status)
             return status, report, stats, details
         except Exception as exc:
             # reference wraps every failure into a FAILED result (core.py:174)
             report = f"check failed with error: {exc}"
-            self._persist({
-                "run_id": run_id, "check_name": check_name or "check_samples",
-                "check_type": "samples", "status": D.CHECK_FAILED,
-                "final_score": None, "duration_s": time.time() - t0,
-            })
+            timings.finish_run()
+            self._persist(
+                run_id=run_id, check_type="samples", status=D.CHECK_FAILED,
+                check_name=check_name or "check_samples",
+                source_table=source_table, target_table=target_table,
+                report=report, timings=timings,
+            )
             self._track(D.CHECK_FAILED, source_table, target_table)
             return D.CHECK_FAILED, report, None, None
 
@@ -274,13 +296,21 @@ class QualityChecker:
         report_output_format: str = "text",
     ):
         run_id = uuid.uuid4().hex[:16]
+        timings = CheckRunTimings(run_started_at=CheckRunTimings.now())
         try:
+            fmt = validate_report_output_format(report_output_format)
             if not date_column:
                 raise ValueError("date_column is required for check_counts")
+            timings.mark_query_start("source")
             src = self._date_filter(self._resolve(source_table), date_column, date_range)
+            timings.mark_query_end("source")
+            timings.mark_query_start("target")
             trg = self._date_filter(self._resolve(target_table), date_column, date_range)
+            timings.mark_query_end("target")
+            timings.mark_dataset_check_start()
             cstats = C.check_counts(src, trg, date_column)
             if cstats.total_source == 0 and cstats.total_target == 0:
+                self._track(D.CHECK_SKIPPED, source_table, target_table)
                 return D.CHECK_SKIPPED, "both sides empty", cstats, None
             status = (
                 D.CHECK_SUCCESS if cstats.diff_pct <= tolerance_pct else D.CHECK_FAILED
@@ -288,14 +318,27 @@ class QualityChecker:
             disc = C.count_discrepancies(
                 C.daily_counts(src, date_column), C.daily_counts(trg, date_column)
             ).limit(100).collect()
-            report = render_counts_report(
+            timings.mark_dataset_check_end()
+            text_report = render_counts_report(
                 check_name or "check_counts", run_id, status, cstats, disc, tolerance_pct
             )
-            self._persist({
-                "run_id": run_id, "check_name": check_name or "check_counts",
-                "check_type": "counts", "status": status,
-                "final_score": cstats.final_score, "duration_s": 0.0,
-            })
+            report = text_report
+            if fmt == "json":
+                report = check_result_json(
+                    run_id=run_id, check_type="counts", status=status,
+                    check_name=check_name or "check_counts", report=text_report,
+                    source_table=source_table if isinstance(source_table, str) else None,
+                    target_table=target_table if isinstance(target_table, str) else None,
+                    timezone=self.timezone, stats=cstats, details=disc,
+                )
+            timings.finish_run()
+            self._persist(
+                run_id=run_id, check_type="counts", status=status,
+                check_name=check_name or "check_counts",
+                source_table=source_table, target_table=target_table,
+                report=text_report, timings=timings,
+                stats_overrides={"final_score": float(cstats.final_score)},
+            )
             self._track(status, source_table, target_table)
             return status, report, cstats, disc
         except Exception as exc:
@@ -312,23 +355,85 @@ class QualityChecker:
         tolerance_pct: float = 0.0,
         max_examples: int = D.DEFAULT_MAX_EXAMPLES,
         report_output_format: str = "text",
+        source_params: dict | None = None,
+        target_params: dict | None = None,
+        date_column: str | None = None,
+        date_range: tuple[str, str] | None = None,
+        chunk_size_days: int | None = None,
     ):
         """Same diff engine over arbitrary Spark SQL on both sides
-        (reference core.py:749; params are inlined — use Spark SQL named
-        parameters via ``spark.sql(q, args=...)`` upstream if needed)."""
+        (reference core.py:749). Named ``:param`` binds are passed through
+        Spark SQL's parameterized queries (reference splices params into
+        binds, core.py:959-1028); ``date_column``/``date_range``/
+        ``chunk_size_days`` run the same chunk loop as check_samples
+        (reference runs all four check types chunked, core.py:1030-1146)."""
         run_id = uuid.uuid4().hex[:16]
+        timings = CheckRunTimings(run_started_at=CheckRunTimings.now())
         try:
+            fmt = validate_report_output_format(report_output_format)
             keys = [k.lower() for k in custom_primary_key]
-            src = self.spark.sql(source_query)
-            trg = self.spark.sql(target_query)
+            timings.mark_query_start("source")
+            src = self.spark.sql(source_query, args=source_params or {})
+            src = self._date_filter(src, date_column, date_range)
             src = self._apply_column_policy(src, keys, None, exclude_columns)
+            timings.mark_query_end("source")
+            timings.mark_query_start("target")
+            trg = self.spark.sql(target_query, args=target_params or {})
+            trg = self._date_filter(trg, date_column, date_range)
             trg = self._apply_column_policy(trg, keys, None, exclude_columns)
+            timings.mark_query_end("target")
             src, trg = self._exclude_recent(src, trg, keys)
-            stats, details = D.compare_frames(src, trg, keys, max_examples)
+
+            from .chunking import iter_date_chunks, merge_chunk_stats
+
+            chunks = (
+                iter_date_chunks(date_range[0], date_range[1], chunk_size_days)
+                if (date_column and date_range)
+                else [(None, None)]
+            )
+            timings.mark_dataset_check_start()
+            if len(chunks) == 1:
+                stats, details = D.compare_frames(src, trg, keys, max_examples)
+            else:
+                per, issue_dicts, details = [], [], None
+                for cs, ce in chunks:
+                    st, dt_ = D.compare_frames(
+                        self._date_filter(src, date_column, (cs, ce)),
+                        self._date_filter(trg, date_column, (cs, ce)),
+                        keys, max_examples, with_examples=details is None,
+                    )
+                    per.append(st)
+                    if st is not None and dt_ is not None:
+                        issue_dicts.append(dict(dt_.issue_breakdown))
+                        if details is None:
+                            details = dt_
+                stats = merge_chunk_stats(per, issue_dicts)
+                if details is not None and stats is not None:
+                    details.issue_breakdown = sorted(
+                        _merge_counts(issue_dicts).items(), key=lambda x: (-x[1], x[0])
+                    )
+            timings.mark_dataset_check_end()
             status = D.check_status(stats, tolerance_pct)
-            report = render_samples_report(
+            text_report = render_samples_report(
                 check_name or "check_custom_queries", run_id, status, stats,
                 details, tolerance_pct,
+            )
+            report = text_report
+            if fmt == "json":
+                report = check_result_json(
+                    run_id=run_id, check_type="custom_queries", status=status,
+                    check_name=check_name or "check_custom_queries",
+                    report=text_report, timezone=self.timezone,
+                    stats=stats, details=details,
+                    source_query=source_query, target_query=target_query,
+                )
+            timings.finish_run()
+            self._persist(
+                run_id=run_id, check_type="custom_queries", status=status,
+                check_name=check_name or "check_custom_queries",
+                source_query=source_query, source_params=source_params,
+                target_query=target_query, target_params=target_params,
+                report=text_report, stats=stats, details=details, timings=timings,
             )
             self._track(status)
             return status, report, stats, details
@@ -343,25 +448,70 @@ class QualityChecker:
         tolerance_pct: float = 0.0,
         max_examples: int = D.DEFAULT_MAX_EXAMPLES,
         report_output_format: str = "text",
+        params: dict | None = None,
+        date_column: str | None = None,
+        date_range: tuple[str, str] | None = None,
+        chunk_size_days: int | None = None,
     ):
+        """Row-rule sniff over arbitrary Spark SQL (reference core.py:620).
+        Named ``:param`` binds ride ``spark.sql(q, args=...)``; chunked
+        execution mirrors the reference's chunked sniff (core.py:1216-1357)
+        with the accumulator merge in operators.sniff.merge_sniff_stats."""
         run_id = uuid.uuid4().hex[:16]
+        timings = CheckRunTimings(run_started_at=CheckRunTimings.now())
         try:
-            df = self.spark.sql(source_query)
-            stats = S.evaluate_sniff(df)
+            fmt = validate_report_output_format(report_output_format)
+            timings.mark_query_start("source")
+            df = self.spark.sql(source_query, args=params or {})
+            df = self._date_filter(df, date_column, date_range)
+            timings.mark_query_end("source")
+
+            from .chunking import iter_date_chunks
+
+            chunks = (
+                iter_date_chunks(date_range[0], date_range[1], chunk_size_days)
+                if (date_column and date_range)
+                else [(None, None)]
+            )
+            timings.mark_dataset_check_start()
+            if len(chunks) == 1:
+                stats = S.evaluate_sniff(df)
+            else:
+                stats = S.merge_sniff_stats([
+                    S.evaluate_sniff(self._date_filter(df, date_column, (cs, ce)))
+                    for cs, ce in chunks
+                ])
             status = (
                 D.CHECK_SUCCESS if stats.issue_rows_pct <= tolerance_pct else D.CHECK_FAILED
             )
             hist = S.sniff_histogram(df).collect()
             examples = df.filter(F.col(S.XSNIFF_PASSED) == S.FLAG_NO).limit(max_examples).collect()
-            report = render_sniff_report(
+            timings.mark_dataset_check_end()
+            text_report = render_sniff_report(
                 check_name or "check_sniff_query", run_id, status, stats, hist,
                 examples, tolerance_pct,
             )
-            self._persist({
-                "run_id": run_id, "check_name": check_name or "check_sniff_query",
-                "check_type": "sniff_query", "status": status,
-                "final_score": stats.final_score, "duration_s": 0.0,
-            })
+            report = text_report
+            if fmt == "json":
+                report = check_result_json(
+                    run_id=run_id, check_type="sniff_query", status=status,
+                    check_name=check_name or "check_sniff_query",
+                    report=text_report, timezone=self.timezone, stats=stats,
+                    details={"histogram": hist, "examples": examples},
+                    source_query=source_query,
+                )
+            timings.finish_run()
+            self._persist(
+                run_id=run_id, check_type="sniff_query", status=status,
+                check_name=check_name or "check_sniff_query",
+                source_query=source_query, source_params=params,
+                report=text_report, timings=timings,
+                stats_overrides={
+                    "final_score": float(stats.final_score),
+                    "issue_rows_pct": float(stats.issue_rows_pct),
+                    "passed_rows": int(stats.passed_rows),
+                },
+            )
             self._track(status)
             return status, report, stats, examples
         except Exception as exc:

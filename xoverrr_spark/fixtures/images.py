@@ -34,11 +34,11 @@ _ES_WORDS = ["perro", "gato", "coche", "casa", "arbol", "rio", "montana", "nino"
 _CONSONANTS = list("bcdfghjklmnpqrstvwxz")
 
 CATEGORIES = [
-    ("normal_en", 0.30), ("normal_de", 0.07), ("normal_fr", 0.07),
+    ("normal_en", 0.27), ("normal_de", 0.07), ("normal_fr", 0.07),
     ("normal_es", 0.07), ("gibberish", 0.08), ("too_short", 0.05),
     ("too_long", 0.03), ("digit_heavy", 0.05), ("repetitive", 0.05),
     ("low_stopword", 0.04), ("email", 0.06), ("phone", 0.06),
-    ("toxic", 0.04), ("empty", 0.03),
+    ("toxic", 0.04), ("empty", 0.03), ("ws_edges", 0.03),
 ]
 
 
@@ -91,7 +91,17 @@ def _caption(cat: str, rng: np.random.Generator) -> str:
         tox = R.TOXIC_WORDS[int(rng.integers(0, len(R.TOXIC_WORDS)))]
         return f"the {tox} {n1} is on the {n2}"
     if cat == "empty":
-        return ["", "   ", "None", "nan", "NaT"][int(rng.integers(0, 5))]
+        return ["", "   ", "None", "nan", "NaT", "\t", " \n "][int(rng.integers(0, 7))]
+    if cat == "ws_edges":
+        # leading/trailing/interior non-space whitespace (ADVICE r01): all
+        # three rule implementations must trim and word-split identically
+        n1, n2 = pick(_EN_NOUNS, 2)
+        sep = [" ", "\t", " "][int(rng.integers(0, 3))]
+        core = f"a photo of the {n1}{sep}sitting on the {n2} in the garden"
+        edges = ["\t", "\n", "\r\n", " \t ", "\x0b", "\f", ""]
+        lead = edges[int(rng.integers(0, len(edges)))]
+        trail = edges[int(rng.integers(0, len(edges)))]
+        return f"{lead}{core}{trail}"
     raise ValueError(cat)
 
 

@@ -20,18 +20,20 @@ import pandas as pd
 from ..functions import rulespec as R
 from ..functions.perplexity import scalar_perplexity
 
-_NULLISH = re.compile(R.NULLISH_RE)
+_NULLISH = re.compile(R.NULLISH_RE, re.ASCII)
 _STOPSETS = {lang: set(R.STOPWORDS[lang]) for lang in R.LANGS}
 _LETTERS = re.compile(r"[^\W\d_]")  # unicode letters (== Java \p{L} here)
 _DIGITS = re.compile(r"[0-9]")
-_SPLIT = re.compile(r"\s+", re.ASCII)
+_SPLIT = re.compile(R.WORD_SPLIT_RE)
 _EMAIL = re.compile(R.EMAIL_RE)
 _PHONE = re.compile(R.PHONE_RE)
 _TOXIC = re.compile(R.TOXIC_RE.replace("(?i)", ""), re.IGNORECASE | re.ASCII)
 
 
 def label_row(caption: str | None) -> dict:
-    t = "" if caption is None else str(caption).strip()
+    # explicit ASCII whitespace set — str.strip() with no args strips
+    # unicode whitespace, which Spark/DuckDB regexp trimming does not
+    t = "" if caption is None else str(caption).strip(R.WS_CHARS)
     if _NULLISH.match(t):
         t = R.NULL_REPLACEMENT
 

@@ -56,6 +56,15 @@ def batch_perplexity(captions: pd.Series) -> pd.Series:
 
     Rows with fewer than 2 characters get a neutral ppl of 1.0.
     """
+    return batch_perplexity_with_tables(captions, _LUT, _LOGP)
+
+
+def batch_perplexity_with_tables(
+    captions: pd.Series, lut: np.ndarray, logp: np.ndarray
+) -> pd.Series:
+    """Same vectorized scorer over EXPLICIT model tables — the entry point
+    for artifact-backed models distributed via SparkFiles
+    (functions/models.py:artifact_ppl_udf)."""
     s = captions.fillna("").astype(str).str.lower().str.encode("ascii", errors="replace")
     lens = s.str.len().to_numpy(np.int64)
     n = len(lens)
@@ -66,12 +75,12 @@ def batch_perplexity(captions: pd.Series) -> pd.Series:
         return pd.Series(np.ones(n), index=captions.index)
 
     buf = b"".join(s.tolist())
-    codes = _LUT[np.frombuffer(buf, np.uint8)]
+    codes = lut[np.frombuffer(buf, np.uint8)]
     # bigram log-probs at positions i -> (i, i+1); last char of each row and
     # cross-row boundaries are invalid
     lp = np.zeros(total, np.float64)
     if total >= 2:
-        lp[:-1] = _LOGP[codes[:-1], codes[1:]]
+        lp[:-1] = logp[codes[:-1], codes[1:]]
     ends = np.cumsum(lens)
     starts = ends - lens
     lp[ends[:-1] - 1] = 0.0  # kill cross-row bigrams

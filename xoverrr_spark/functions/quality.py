@@ -24,8 +24,11 @@ from . import rulespec as R
 
 def norm_caption(text: Column) -> Column:
     """Trim + textual-null canonicalization (reference utils.py:814-823):
-    whitespace-only / 'None' / 'nan' / 'NaT' (any case) -> 'N/A'."""
-    t = F.trim(F.coalesce(text, F.lit("")))
+    whitespace-only / 'None' / 'nan' / 'NaT' (any case) -> 'N/A'.
+    Trims the full ASCII whitespace class (rulespec.TRIM_RE) — F.trim
+    strips 0x20 only, which diverged from the golden labeler's str.strip()
+    on tab/newline edges (ADVICE r01)."""
+    t = F.regexp_replace(F.coalesce(text, F.lit("")), R.TRIM_RE, "")
     return F.when(t.rlike(R.NULLISH_RE), F.lit(R.NULL_REPLACEMENT)).otherwise(t)
 
 

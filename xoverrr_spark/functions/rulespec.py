@@ -20,6 +20,17 @@ agree byte-for-byte.
 
 from __future__ import annotations
 
+# ---- trim semantics (ADVICE r01) ----
+# F.trim / DuckDB trim() strip only 0x20 while Python str.strip() strips
+# all unicode whitespace — a caption with a leading tab/newline would get
+# different rule outcomes per engine. All three implementations therefore
+# trim (and word-split on) the explicit ASCII class below; `\s` itself
+# would still diverge (RE2's \s lacks \x0B; Python's non-ASCII \s is
+# unicode-aware).
+WS_CHARS = " \t\n\x0b\f\r"
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+TRIM_RE = rf"^{WS_CLASS}+|{WS_CLASS}+$"
+
 # ---- textual-null canonicalization (reference utils.py:821) ----
 NULLISH_RE = r"(?i)^(none|nan|nat|\s*)$"
 NULL_REPLACEMENT = "N/A"
@@ -75,7 +86,7 @@ ALL_REASONS = [
 ]
 
 # ---- regex building blocks (RE2-safe) ----
-WORD_SPLIT_RE = r"\s+"
+WORD_SPLIT_RE = rf"{WS_CLASS}+"
 LETTER_RE = r"\p{L}"        # Spark (Java regex) spelling
 LETTER_RE_DUCKDB = r"\pL"   # RE2 spelling
 DIGIT_RE = r"[0-9]"

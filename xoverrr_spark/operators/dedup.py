@@ -4,10 +4,12 @@ Four families, each scale-shaped for Spark:
 
 - **Exact**: md5 of canonical text -> groupBy(hash) keep min(id). One
   key-hash shuffle; partial aggregation map-side.
-- **MinHash + LSH**: word-shingles -> 60-bit md5 base hash -> k universal
-  hashes ``(a_i*x+b_i) mod p`` -> per-doc signature -> band buckets ->
-  candidate pairs from bucket self-join. Shuffle cost is O(docs x bands),
-  never O(docs^2); only bucket-mates are paired.
+- **MinHash + LSH**: word-shingles -> 40-bit md5 base hash -> k affine
+  permutations ``(a_i*x+b_i) mod 2^40`` (odd ``a_i`` => bijection) ->
+  per-doc signature -> band buckets -> candidate pairs from bucket
+  self-join. Shuffle cost is O(docs x bands), never O(docs^2); only
+  bucket-mates are paired, and the exact-Jaccard verify stage touches
+  candidate docs only (``candidate_jaccard``).
 - **SimHash**: 48-bit sign-aggregated token hashes; near-dups share a
   simhash (or differ in few bits). One explode + one groupBy.
 - **N-gram Jaccard**: exact verification on candidate pairs via a shingle
@@ -25,10 +27,14 @@ from pyspark.sql import functions as F
 
 from ..functions.tokens import fingerprint, md5_long, word_shingles
 
-# Affine universal hashes (a*x+b) mod p sized to never overflow int64 even
-# under ANSI arithmetic: base hash x < 2^40, a,b < 2^20 => a*x+b < 2^60.
-# Identical plain-integer math runs in the DuckDB oracle.
-MERSENNE_P = (1 << 61) - 1
+# Affine permutations (a*x+b) mod 2^40 with ODD a: for odd a the map is a
+# bijection on Z_2^40, so each hash index i applies a genuinely different
+# permutation to the 40-bit base hash (a mod-p formula with a*x+b < p never
+# wraps, is strictly increasing, and collapses every min to the same
+# min-shingle — ADVICE r01). a,b < 2^20 and x < 2^40 keep a*x+b < 2^60, so
+# the arithmetic never overflows int64 even under ANSI mode. Identical
+# plain-integer math runs in the DuckDB oracle.
+MINHASH_MOD = 1 << 40
 _COEF_BITS = 20
 
 
@@ -88,20 +94,51 @@ def minhash_signature(
     """
     sh = shingle_table(df, id_col, text_col, shingle_n)
     aggs = [
-        F.min((F.lit(a) * F.col("shingle_hash") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
+        F.min((F.lit(a) * F.col("shingle_hash") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_params(num_hashes, seed))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+# Buckets larger than this self-join quadratically for no recall benefit —
+# a degenerate hot bucket (boilerplate near-identical docs) is exact-dup
+# territory handled by exact_dedup upstream. Dropped buckets are a
+# replayable predicate (HAVING count <= cap in the DuckDB oracle), not a
+# sampling step, so parity is exact.
+DEFAULT_MAX_BUCKET = 200
+
+
+def _capped_bucket_self_join(buckets: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """(doc_a, doc_b) distinct pairs from a (doc_id, band, bkey) bucket
+    table, self-joined per bucket with an optional bucket-size cap."""
+    if max_bucket_size is not None:
+        ok = (
+            buckets.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+        buckets = buckets.join(ok, ["band", "bkey"], "left_semi")
+    a = buckets.alias("a")
+    b2 = buckets.alias("b")
+    return (
+        a.join(b2, ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs: docs sharing any LSH band bucket.
 
     Band bucket key is md5 of the concatenated band slice — a string both
     engines hash identically. Self-join per bucket; doc_a < doc_b dedups
-    the pair space.
+    the pair space. Buckets above ``max_bucket_size`` are skipped (W3:
+    bounded worst case on degenerate boilerplate corpora).
     """
     rows_per_band = num_hashes // bands
     band_structs = []
@@ -113,13 +150,48 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         F.col("doc_id"), F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bkey")
-    a = buckets.alias("a")
-    b2 = buckets.alias("b")
-    return (
-        a.join(b2, ["band", "bkey"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    return _capped_bucket_self_join(buckets, max_bucket_size)
+
+
+def candidate_jaccard(
+    df: DataFrame, id_col: str, text_col: str, candidates: DataFrame,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle Jaccard computed ONLY for (doc_a, doc_b) in
+    ``candidates`` — O(|candidates|), never a shingle self-join.
+
+    Per-doc distinct-shingle sets are collected as arrays for candidate
+    docs only (``left_semi`` against the candidate id set), then each
+    candidate pair joins to its two arrays and |A∩B| is a JVM-side
+    ``array_intersect``. This is the verify stage LSH exists to enable:
+    the full-corpus co-occurrence join (``ngram_jaccard``) is never built.
+    """
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
+    )
+    sets = (
+        shingle_table(df, id_col, text_col, shingle_n)
+        .join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle_hash").alias("shset"))
+    )
+    return (
+        candidates.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa")), "doc_a"
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb")), "doc_b"
+        )
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .select(
+            "doc_a", "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.size("sa") + F.size("sb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -127,17 +199,18 @@ def minhash_near_dups(
     df: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """LSH candidates verified with exact shingle Jaccard
-    -> (doc_a, doc_b, jaccard >= threshold)."""
+    """LSH candidates verified with exact candidate-restricted Jaccard
+    -> (doc_a, doc_b, jaccard >= threshold).
+
+    The candidate pair set is persisted so its two consumers (the id
+    semi-join and the final pair join) share one LSH bucket join.
+    """
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sig, num_hashes, bands)
-    j = ngram_jaccard(df, id_col, text_col, shingle_n)
-    return (
-        cands.join(j, ["doc_a", "doc_b"])
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    cands = lsh_candidate_pairs(sig, num_hashes, bands, max_bucket_size).persist()
+    j = candidate_jaccard(df, id_col, text_col, cands, shingle_n)
+    return j.filter(F.col("jaccard") >= jaccard_threshold).select("doc_a", "doc_b", "jaccard")
 
 
 def ngram_jaccard(
@@ -173,7 +246,8 @@ SIMHASH_BANDS = 4  # pigeonhole: hamming <= 3 pairs share at least one band
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with simhash Hamming distance <=
     ``max_hamming``.
@@ -181,7 +255,9 @@ def simhash_near_dups(
     Banded candidate generation (pigeonhole: a pair within distance d must
     agree exactly on >= 1 of d+1 bands) keeps the join O(docs x bands) —
     then one ``bit_count(xor)`` verifies exactly. Requires
-    SIMHASH_BANDS > max_hamming.
+    SIMHASH_BANDS > max_hamming. Buckets above ``max_bucket_size`` are
+    skipped (same W3 cap as LSH — identical-simhash floods are exact-dup
+    territory).
     """
     if max_hamming >= SIMHASH_BANDS:
         raise ValueError("max_hamming must be < SIMHASH_BANDS for the pigeonhole")
@@ -198,6 +274,14 @@ def simhash_near_dups(
             for b in range(SIMHASH_BANDS)
         ])).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bkey")
+    if max_bucket_size is not None:
+        ok = (
+            bands.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+        bands = bands.join(ok, ["band", "bkey"], "left_semi")
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(b, ["band", "bkey"])
@@ -211,15 +295,23 @@ def simhash_near_dups(
     return cands.filter(F.col("hamming") <= max_hamming)
 
 
+class ClusteringNotConverged(RuntimeError):
+    """min-label propagation hit max_iter with labels still changing —
+    cluster_ids would be silently split (ADVICE r01)."""
+
+
 def cluster_near_dups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id).
 
-    Iterative min-label propagation: every node repeatedly adopts the
-    smallest id reachable over one hop, until a fixed point (early-stop on
-    a changed-count aggregate). Near-dup components are shallow (stars /
-    short chains), so this converges in a few iterations; each iteration is
-    one join + one groupBy on doc_id. cluster_id = min doc_id of the
-    component; the canonical survivor of each cluster is its cluster_id.
+    Min-label propagation with POINTER DOUBLING: each iteration every node
+    adopts min(own label, neighbors' labels, label-of-own-label). The
+    doubling hop (labels joined to labels) halves the remaining diameter
+    each round, so convergence is O(log diameter) iterations — a
+    10^6-long duplicate chain converges in ~20 rounds, not 10^6. Each
+    iteration is two joins + one groupBy on doc_id; lineage is cut per
+    iteration with localCheckpoint. cluster_id = min doc_id of the
+    component. Raises ClusteringNotConverged instead of returning silently
+    split clusters when max_iter is insufficient (ADVICE r01).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -232,18 +324,26 @@ def cluster_near_dups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # pointer doubling: label of my label (cluster_id -> that node's label)
+        parent = labels.select(
+            F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("grand")
+        )
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
+            .join(parent, "cluster_id", "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                    F.col("cluster_id"),
+                    F.coalesce("nbr_min", F.col("cluster_id")),
+                    F.coalesce("grand", F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
         )
@@ -256,8 +356,14 @@ def cluster_near_dups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         )
         labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per iter
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise ClusteringNotConverged(
+            f"label propagation still changing after {max_iter} iterations; "
+            "raise max_iter (doubling converges in O(log diameter))"
+        )
     return labels
 
 

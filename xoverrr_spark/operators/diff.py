@@ -167,13 +167,7 @@ def diff_joined(
     return j, vals
 
 
-def diff_classify(
-    src: DataFrame, trg: DataFrame, keys: list[str], normalize: bool = True
-) -> DataFrame:
-    """Per-key classification DataFrame: keys + ``diff_status`` in
-    {source_only, target_only, differs, matched} (dup keys classified on
-    their deduped representative, like the reference)."""
-    j, vals = diff_joined(src, trg, keys, normalize)
+def _classify_from_joined(j: DataFrame, vals: list[str], keys: list[str]) -> DataFrame:
     both = F.col("s_cnt").isNotNull() & F.col("t_cnt").isNotNull()
     eq = F.col("s_row") == F.col("t_row") if vals else F.lit(True)
     status = (
@@ -185,12 +179,17 @@ def diff_classify(
     return j.select(*keys, status.alias("diff_status"))
 
 
-def diff_stats_row(
+def diff_classify(
     src: DataFrame, trg: DataFrame, keys: list[str], normalize: bool = True
 ) -> DataFrame:
-    """One-row DataFrame with the global diff counters (SQL-expressible —
-    used by the driver-oracle queries and by ``compare_frames``)."""
+    """Per-key classification DataFrame: keys + ``diff_status`` in
+    {source_only, target_only, differs, matched} (dup keys classified on
+    their deduped representative, like the reference)."""
     j, vals = diff_joined(src, trg, keys, normalize)
+    return _classify_from_joined(j, vals, keys)
+
+
+def _stats_row_from_joined(j: DataFrame, vals: list[str]) -> DataFrame:
     both = F.col("s_cnt").isNotNull() & F.col("t_cnt").isNotNull()
     eq = F.col("s_row") == F.col("t_row") if vals else F.lit(True)
     aggs = [
@@ -206,26 +205,32 @@ def diff_stats_row(
         F.count(F.when(both & eq, 1)).alias("passed_rows"),
     ]
     for c in vals:
+        # null-safe inequality (ADVICE r01): `!=` yields NULL when one side
+        # is NULL and the counter would miss the mismatch that struct
+        # equality (null-aware) correctly fails — NOT(<=>) counts it
         aggs.append(
-            F.count(F.when(both & (F.col(f"s_row.{c}") != F.col(f"t_row.{c}")), 1))
-            .alias(f"issue_{c}")
+            F.count(
+                F.when(both & ~F.col(f"s_row.{c}").eqNullSafe(F.col(f"t_row.{c}")), 1)
+            ).alias(f"issue_{c}")
         )
     return j.agg(*aggs)
 
 
-def issue_examples(
-    src: DataFrame,
-    trg: DataFrame,
-    keys: list[str],
-    max_examples: int = DEFAULT_MAX_EXAMPLES,
-    normalize: bool = True,
+def diff_stats_row(
+    src: DataFrame, trg: DataFrame, keys: list[str], normalize: bool = True
 ) -> DataFrame:
-    """Per-column discrepancy examples, capped at ``max_examples`` per column
-    with deterministic key ordering (reference caps at utils.py:387-391; the
-    reference's per-chunk row loop becomes melt + ranked window here)."""
+    """One-row DataFrame with the global diff counters (SQL-expressible —
+    used by the driver-oracle queries and by ``compare_frames``)."""
+    j, vals = diff_joined(src, trg, keys, normalize)
+    return _stats_row_from_joined(j, vals)
+
+
+def _issue_examples_from_joined(
+    j: DataFrame, vals: list[str], keys: list[str],
+    max_examples: int = DEFAULT_MAX_EXAMPLES,
+) -> DataFrame:
     from pyspark.sql.window import Window
 
-    j, vals = diff_joined(src, trg, keys, normalize)
     if not vals:
         return j.sparkSession.createDataFrame(
             [], "primary_key string, column_name string, source_value string, target_value string"
@@ -244,13 +249,30 @@ def issue_examples(
                 for c in vals
             ])
         ).alias("d"),
-    ).select("primary_key", "d.*").filter(F.col("source_value") != F.col("target_value"))
+    ).select("primary_key", "d.*").filter(
+        # null-safe: a NULL-vs-value discrepancy is still an example
+        ~F.col("source_value").eqNullSafe(F.col("target_value"))
+    )
     w = Window.partitionBy("column_name").orderBy("primary_key")
     return (
         melted.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= max_examples)
         .drop("rn")
     )
+
+
+def issue_examples(
+    src: DataFrame,
+    trg: DataFrame,
+    keys: list[str],
+    max_examples: int = DEFAULT_MAX_EXAMPLES,
+    normalize: bool = True,
+) -> DataFrame:
+    """Per-column discrepancy examples, capped at ``max_examples`` per column
+    with deterministic key ordering (reference caps at utils.py:387-391; the
+    reference's per-chunk row loop becomes melt + ranked window here)."""
+    j, vals = diff_joined(src, trg, keys, normalize)
+    return _issue_examples_from_joined(j, vals, keys, max_examples)
 
 
 def compare_frames(
@@ -262,45 +284,75 @@ def compare_frames(
     with_examples: bool = True,
 ) -> tuple[CheckStats | None, CheckDetails | None]:
     """Full diff run -> (CheckStats, CheckDetails); (None, None) when both
-    sides are empty (reference utils.py:438-439 -> SKIPPED)."""
-    row = diff_stats_row(src, trg, keys, normalize).collect()[0].asDict()
-    if row["total_source_rows"] == 0 and row["total_target_rows"] == 0:
-        return None, None
+    sides are empty (reference utils.py:438-439 -> SKIPPED).
 
-    vals = [c[len("issue_"):] for c in row if c.startswith("issue_")]
-    issue_counts = [row[f"issue_{c}"] for c in vals if row[f"issue_{c}"] > 0]
-    stats = build_check_stats(
-        row["total_source_rows"], row["total_target_rows"],
-        row["dup_source_rows"], row["dup_target_rows"],
-        row["only_source_rows"], row["only_target_rows"],
-        row["comparable_rows"], row["passed_rows"],
-        issue_counts,
-    )
+    Single-pass (W4 r01): the diff_joined frame is persisted once; stats,
+    the four key-example paths, dup-key examples, and issue examples are
+    all derived from the cached frame — one scan + one shuffle of the
+    inputs total, instead of ~5 full recomputations. The stats collect
+    materializes the cache; every follow-up is a short job over the cached
+    partitions. unpersist() in finally keeps executor storage bounded.
+    """
+    j, vals = diff_joined(src, trg, keys, normalize)
+    j = j.persist()
+    try:
+        row = _stats_row_from_joined(j, vals).collect()[0].asDict()
+        if row["total_source_rows"] == 0 and row["total_target_rows"] == 0:
+            return None, None
 
-    breakdown = sorted(
-        ((c, row[f"issue_{c}"]) for c in vals if row[f"issue_{c}"] > 0),
-        key=lambda x: (-x[1], x[0]),
-    )
-    details = CheckDetails(
-        issue_breakdown=breakdown,
-        issue_examples=[],
-        dup_source_keys_examples=(),
-        dup_target_keys_examples=(),
-        source_only_keys_examples=(),
-        target_only_keys_examples=(),
-        evaluated_columns=vals,
-    )
-    if with_examples:
-        cls = diff_classify(src, trg, keys, normalize)
-        def _keys(status):
-            rows = cls.filter(F.col("diff_status") == status).select(*keys).limit(max_examples).collect()
-            return tuple(r[0] if len(keys) == 1 else tuple(r) for r in rows)
-        details.source_only_keys_examples = _keys("source_only")
-        details.target_only_keys_examples = _keys("target_only")
-        details.issue_examples = [
-            r.asDict() for r in issue_examples(src, trg, keys, max_examples, normalize).collect()
-        ]
-    return stats, details
+        issue_counts = [row[f"issue_{c}"] for c in vals if row[f"issue_{c}"] > 0]
+        stats = build_check_stats(
+            row["total_source_rows"], row["total_target_rows"],
+            row["dup_source_rows"], row["dup_target_rows"],
+            row["only_source_rows"], row["only_target_rows"],
+            row["comparable_rows"], row["passed_rows"],
+            issue_counts,
+        )
+
+        breakdown = sorted(
+            ((c, row[f"issue_{c}"]) for c in vals if row[f"issue_{c}"] > 0),
+            key=lambda x: (-x[1], x[0]),
+        )
+        details = CheckDetails(
+            issue_breakdown=breakdown,
+            issue_examples=[],
+            dup_source_keys_examples=(),
+            dup_target_keys_examples=(),
+            source_only_keys_examples=(),
+            target_only_keys_examples=(),
+            evaluated_columns=vals,
+        )
+        if with_examples:
+            def _tuples(rows):
+                return tuple(r[0] if len(keys) == 1 else tuple(r) for r in rows)
+
+            cls = _classify_from_joined(j, vals, keys)
+
+            def _keys(status):
+                return _tuples(
+                    cls.filter(F.col("diff_status") == status)
+                    .select(*keys).limit(max_examples).collect()
+                )
+
+            def _dup_keys(cnt_col):
+                # deterministic ordering (reference surfaces dup key sets,
+                # utils.py:443-454, formatted utils.py:978-982)
+                return _tuples(
+                    j.filter(F.col(cnt_col) > 1)
+                    .select(*keys).orderBy(*keys).limit(max_examples).collect()
+                )
+
+            details.source_only_keys_examples = _keys("source_only")
+            details.target_only_keys_examples = _keys("target_only")
+            details.dup_source_keys_examples = _dup_keys("s_cnt")
+            details.dup_target_keys_examples = _dup_keys("t_cnt")
+            details.issue_examples = [
+                r.asDict()
+                for r in _issue_examples_from_joined(j, vals, keys, max_examples).collect()
+            ]
+        return stats, details
+    finally:
+        j.unpersist()
 
 
 def check_status(stats: CheckStats | None, tolerance_pct: float = 0.0) -> str:

@@ -20,7 +20,12 @@ Cross-engine determinism rules observed throughout:
 from __future__ import annotations
 
 from .functions import rulespec as R
-from .operators.dedup import MERSENNE_P, SIMHASH_BITS, minhash_params
+from .operators.dedup import (
+    DEFAULT_MAX_BUCKET,
+    MINHASH_MOD,
+    SIMHASH_BITS,
+    minhash_params,
+)
 
 # ---------------------------------------------------------------- diff ----
 
@@ -51,9 +56,10 @@ FROM orders s FULL OUTER JOIN trg t ON s.o_orderkey = t.o_orderkey
 
 
 def diff_stats_orders() -> str:
+    # IS DISTINCT FROM mirrors the Spark side's null-safe NOT(<=>) counters
     issue_cols = ",\n       ".join(
         f"COUNT(CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL "
-        f"AND s.{c} <> t.{c} THEN 1 END) AS issue_{c}"
+        f"AND s.{c} IS DISTINCT FROM t.{c} THEN 1 END) AS issue_{c}"
         for c in ORDERS_VALUE_COLS
     )
     return f"""
@@ -231,7 +237,9 @@ GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
 # -------------------------------------------------- text / training ops ----
 
 def _tokens_sql(text_expr: str) -> str:
-    return f"string_split_regex(trim(lower({text_expr})), '\\s+')"
+    # WORD_SPLIT_RE is the shared explicit ASCII class — RE2's \s lacks
+    # \x0B while Java's includes it, so `\s+` would diverge on vertical tabs
+    return f"string_split_regex(trim(lower({text_expr})), '{R.WORD_SPLIT_RE}')"
 
 
 def _lang_counts_sql(toks_expr: str) -> str:
@@ -369,7 +377,7 @@ sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 10))::BIGINT AS 
 
 def minhash_signatures_documents(num_hashes: int = 16) -> str:
     mins = ",\n       ".join(
-        f"MIN(({a} * x + {b}) % {MERSENNE_P}) AS mh_{i}"
+        f"MIN(({a} * x + {b}) % {MINHASH_MOD}) AS mh_{i}"
         for i, (a, b) in enumerate(minhash_params(num_hashes))
     )
     return f"""
@@ -389,15 +397,18 @@ def lsh_candidates_documents(num_hashes: int = 16, bands: int = 4) -> str:
         )
     buckets = "\n  UNION ALL\n  ".join(band_selects)
     mins = ",\n       ".join(
-        f"MIN(({a} * x + {b}) % {MERSENNE_P}) AS mh_{i}"
+        f"MIN(({a} * x + {b}) % {MINHASH_MOD}) AS mh_{i}"
         for i, (a, b) in enumerate(minhash_params(num_hashes))
     )
     return f"""
 WITH {_SHINGLES_CTE.strip()},
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-buckets AS (
+buckets0 AS (
   {buckets}
-)
+),
+ok AS (SELECT band, bkey FROM buckets0 GROUP BY band, bkey
+       HAVING COUNT(*) <= {DEFAULT_MAX_BUCKET}),
+buckets AS (SELECT b.* FROM buckets0 b SEMI JOIN ok USING (band, bkey))
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey
 WHERE a.doc_id < b.doc_id
@@ -417,6 +428,78 @@ inter AS (
 SELECT doc_a, doc_b, inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {threshold}
+"""
+
+
+def minhash_near_dups_documents(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """Twin of dedup.minhash_near_dups: LSH candidates (capped buckets)
+    verified with exact Jaccard computed ONLY over the candidate pairs —
+    the intersection join is restricted to candidate docs, mirroring the
+    Spark side's candidate_jaccard (never a full shingle self-join)."""
+    rows = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cols = ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS bkey FROM sig"
+        )
+    buckets = "\n  UNION ALL\n  ".join(band_selects)
+    mins = ",\n       ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_MOD}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets0 AS (
+  {buckets}
+),
+ok AS (SELECT band, bkey FROM buckets0 GROUP BY band, bkey
+       HAVING COUNT(*) <= {DEFAULT_MAX_BUCKET}),
+buckets AS (SELECT b.* FROM buckets0 b SEMI JOIN ok USING (band, bkey)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.x = a.x
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       i.inter * 1.0 / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= {threshold}
+"""
+
+
+def near_dup_clusters_documents(max_hamming: int = 3) -> str:
+    """Twin of dedup.cluster_near_dups over the simhash near-dup pairs:
+    connected components via a recursive transitive closure (tiny pair set
+    at oracle scale), cluster_id = min doc_id of the component."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({simhash_near_dups_documents(max_hamming).strip()})
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
 """
 
 
@@ -451,9 +534,12 @@ def simhash_near_dups_documents(max_hamming: int = 3) -> str:
     )
     return f"""
 WITH sig AS ({simhash_documents().strip()}),
-bands AS (
+bands0 AS (
   {band_sel}
 ),
+ok AS (SELECT band, bkey FROM bands0 GROUP BY band, bkey
+       HAVING COUNT(*) <= {DEFAULT_MAX_BUCKET}),
+bands AS (SELECT b.* FROM bands0 b SEMI JOIN ok USING (band, bkey)),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          bit_count(xor(a.simhash, b.simhash)) AS hamming
@@ -492,15 +578,69 @@ SELECT query_id, neighbor_id, rank FROM (
 # ~0.51 at sf0.01) — 0.42 yields a small non-empty "near-dup" pair set
 NEAR_DUP_COS = 0.42
 
+_EMB_DIM = 64
+
+
+def _fold_dot(va: str, vb: str, dim: int = _EMB_DIM) -> str:
+    """Left-assoc fold `((0.0 + a1*b1) + a2*b2) + ...` — the exact IEEE op
+    sequence of Spark's aggregate(zip_with(a,b,x*y), 0.0, acc+v), so dot
+    products (and the signs/thresholds derived from them) are bit-identical
+    across engines."""
+    terms = " + ".join(f"{va}[{i + 1}]*{vb}[{i + 1}]" for i in range(dim))
+    return f"(0.0 + {terms})"
+
+
+def _fold_dot_lit(va: str, plane, dim: int = _EMB_DIM) -> str:
+    """Same fold against per-element double literals (repr round-trips the
+    exact float64 the Spark plan carries as lit())."""
+    terms = " + ".join(f"{va}[{i + 1}]*({float(plane[i])!r})" for i in range(dim))
+    return f"(0.0 + {terms})"
+
+
+def _fold_norm(v: str, dim: int = _EMB_DIM) -> str:
+    terms = " + ".join(f"{v}[{i + 1}]*{v}[{i + 1}]" for i in range(dim))
+    return f"sqrt(0.0 + {terms})"
+
 
 def embedding_near_dup_pairs() -> str:
-    cos = ("list_dot_product(va, vb) / "
-           "(sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))")
+    """Replays the Spark banded-hyperplane-LSH + exact-cosine-rerank plan
+    (operators/similarity.py:embedding_near_dups) with identical plane
+    literals and fold order — parity is exact even though LSH recall < 1
+    vs a brute-force all-pairs scan."""
+    from .operators.similarity import (
+        NEAR_DUP_BANDS,
+        NEAR_DUP_PLANE_SEED,
+        NEAR_DUP_PLANES_PER_BAND,
+        hyperplanes,
+    )
+
+    planes = hyperplanes(_EMB_DIM, NEAR_DUP_BANDS * NEAR_DUP_PLANES_PER_BAND,
+                         NEAR_DUP_PLANE_SEED)
+    band_selects = []
+    for b in range(NEAR_DUP_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN {_fold_dot_lit('ve', planes[b * NEAR_DUP_PLANES_PER_BAND + i])} > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(NEAR_DUP_PLANES_PER_BAND)
+        )
+        band_selects.append(f"SELECT vec_id, {b} AS band, {bits} AS bkey FROM v")
+    buckets = "\n  UNION ALL\n  ".join(band_selects)
+    cos = f"{_fold_dot('va', 'vb')} / ({_fold_norm('va')} * {_fold_norm('vb')})"
     return f"""
-WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE {cos.replace('va', 'a.ve').replace('vb', 'b.ve')} >= {NEAR_DUP_COS}
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+buckets AS (
+  {buckets}
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.vec_id < b.vec_id
+),
+p AS (
+  SELECT c.id_a, c.id_b, x.ve AS va, y.ve AS vb
+  FROM cands c JOIN v x ON x.vec_id = c.id_a JOIN v y ON y.vec_id = c.id_b
+)
+SELECT id_a, id_b FROM p WHERE {cos} >= {NEAR_DUP_COS}
 """
 
 
@@ -524,24 +664,28 @@ def quality_filter_documents() -> str:
       CASE WHEN len(regexp_extract_all(t, '{R.TOXIC_RE}')) > 0 THEN '{R.REASON_TOXIC}' END
     ], x -> x IS NOT NULL)"""
     return f"""
-WITH base AS (
-  SELECT doc_id,
-         CASE WHEN regexp_matches(trim(COALESCE(text, '')), '{R.NULLISH_RE}')
-              THEN '{R.NULL_REPLACEMENT}' ELSE trim(COALESCE(text, '')) END AS t
+WITH base0 AS (
+  SELECT doc_id, regexp_replace(COALESCE(text, ''), '{R.TRIM_RE}', '', 'g') AS t0
   FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(t0, '{R.NULLISH_RE}')
+              THEN '{R.NULL_REPLACEMENT}' ELSE t0 END AS t
+  FROM base0
 ),
 tk AS (
   SELECT doc_id, t, {_tokens_sql('t')} AS toks FROM base
 ),
 feat AS (
   SELECT doc_id, t, length(t) AS n,
-         CASE WHEN length(trim(t)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(t), '\\s+')) END AS words,
+         CASE WHEN length(t) = 0 THEN 0
+              ELSE len(string_split_regex(t, '{R.WORD_SPLIT_RE}')) END AS words,
          CASE WHEN length(t) = 0 THEN 0.0
               ELSE length(regexp_replace(t, '[^\\pL]', '', 'g')) * 1.0 / length(t) END AS alpha,
          CASE WHEN length(t) = 0 THEN 0.0
               ELSE length(regexp_replace(t, '[^0-9]', '', 'g')) * 1.0 / length(t) END AS digit,
-         CASE WHEN length(trim(t)) = 0 THEN 1.0
+         CASE WHEN length(t) = 0 THEN 1.0
               ELSE len(list_distinct(toks)) * 1.0 / len(toks) END AS distinct_ratio,
          {_lang_counts_sql('toks')}
   FROM tk

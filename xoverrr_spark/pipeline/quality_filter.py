@@ -54,7 +54,10 @@ _INTERNAL = ["_cnorm", "_toks", "_n", "_wc", "_alpha", "_digit", "_distinct",
              "_toxic"] + [f"_s_{lang}" for lang in R.LANGS]
 
 
-def annotate(df: DataFrame, caption_col: str = "caption", with_ppl: bool = True) -> DataFrame:
+def annotate(
+    df: DataFrame, caption_col: str = "caption", with_ppl: bool = True,
+    ppl_udf_override=None,
+) -> DataFrame:
     """Append pipeline columns to ``df`` (keeps all input columns).
 
     Shared features (tokens, counts, ratios, language scores) are
@@ -82,7 +85,10 @@ def annotate(df: DataFrame, caption_col: str = "caption", with_ppl: bool = True)
         F.least(top.cast("double") / F.greatest(F.col("_wc"), F.lit(1)), F.lit(1.0)),
     )
     if with_ppl:
-        df = df.withColumn("ppl", ppl_udf(F.col("_cnorm")))
+        # ppl_udf_override swaps in an artifact-backed scorer (functions/
+        # models.py: SparkFiles-distributed char-LM / KenLM) behind the SAME
+        # (string) -> double contract; default is the embedded-table UDF
+        df = df.withColumn("ppl", (ppl_udf_override or ppl_udf)(F.col("_cnorm")))
         ppl_col = F.col("ppl")
     else:
         df = df.withColumn("ppl", F.lit(None).cast("double"))
@@ -101,12 +107,13 @@ def annotate(df: DataFrame, caption_col: str = "caption", with_ppl: bool = True)
 
 
 def quality_filter(
-    df: DataFrame, caption_col: str = "caption", with_ppl: bool = True
+    df: DataFrame, caption_col: str = "caption", with_ppl: bool = True,
+    ppl_udf_override=None,
 ) -> DataFrame:
     """Decision-only projection: (image_id, lang, lang_conf, ppl, keep,
     drop_reasons, caption_scrubbed). The binary payload is pruned from the
     scan (Catalyst column pruning) because it is not referenced."""
-    return annotate(df, caption_col, with_ppl).select(*OUTPUT_COLUMNS)
+    return annotate(df, caption_col, with_ppl, ppl_udf_override).select(*OUTPUT_COLUMNS)
 
 
 def run_metrics(decisions: DataFrame) -> DataFrame:

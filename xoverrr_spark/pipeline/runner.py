@@ -125,6 +125,33 @@ def _run_bucket(
     return row
 
 
+def stage_bucketed_input(
+    spark: SparkSession, images: DataFrame, output_dir: str, n_buckets: int,
+    resume: bool = True,
+) -> DataFrame:
+    """ONE pass over the input written as bucket-partitioned parquet — the
+    local stand-in for an Iceberg phash-bucket partition spec (W5 r01).
+
+    Every bucket job then filters on the PARTITION column, so the scan
+    prunes to 1/n_buckets of the files (asserted in
+    tests/test_plans.py::test_runner_bucket_scan_is_partition_pruned)
+    instead of re-scanning the whole input per bucket. On a real Iceberg
+    deployment whose table is already partitioned by phash bucket, skip
+    this (``stage_input=False``) and pass the table directly — the pruning
+    is then native. On resume the staged copy is reused (it is part of the
+    run's snapshot state); a fresh run rewrites it.
+    """
+    staged = os.path.join(output_dir, "staging")
+    if not (resume and os.path.exists(os.path.join(staged, "_SUCCESS"))):
+        (
+            images.withColumn(
+                "bucket", F.pmod(F.col("phash"), F.lit(n_buckets)).cast("int")
+            )
+            .write.mode("overwrite").partitionBy("bucket").parquet(staged)
+        )
+    return spark.read.parquet(staged)
+
+
 def run_pipeline(
     spark: SparkSession,
     images: DataFrame,
@@ -134,6 +161,7 @@ def run_pipeline(
     resume: bool = True,
     tolerance_drop_pct: float = 100.0,
     concurrency: int = 1,
+    stage_input: bool = True,
     _fail_after_bucket: int | None = None,
 ) -> dict:
     """Run the quality filter bucket-by-bucket with checkpointed resume.
@@ -150,7 +178,18 @@ def run_pipeline(
     if salt_partitions is None:
         salt_partitions = spark.sparkContext.defaultParallelism
     done = completed_buckets(output_dir) if resume else {}
-    bucketed = images.withColumn("bucket", F.pmod(F.col("phash"), F.lit(n_buckets)).cast("int"))
+    if stage_input:
+        bucketed = stage_bucketed_input(spark, images, output_dir, n_buckets, resume)
+    elif "bucket" in images.columns:
+        # source already carries a physical bucket partition column
+        # (Iceberg partition spec) — filters on it prune natively
+        bucketed = images
+    else:
+        # derived column — NO pruning (every bucket job re-scans the input);
+        # only for small inputs / tests
+        bucketed = images.withColumn(
+            "bucket", F.pmod(F.col("phash"), F.lit(n_buckets)).cast("int")
+        )
 
     lineage = [{**done[b], "skipped": True} for b in range(n_buckets) if b in done]
     todo = [b for b in range(n_buckets) if b not in done]

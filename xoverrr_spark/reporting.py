@@ -12,10 +12,14 @@ from datetime import datetime, timezone
 _RULE = "=" * 80
 
 
+def _now_utc_str() -> str:
+    return datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+
+
 def _header(check_name: str, run_id: str) -> list[str]:
     return [
         _RULE,
-        datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S"),
+        _now_utc_str(),
         f"run_id: {run_id}",
         f"check: {check_name}",
     ]
@@ -97,23 +101,78 @@ def render_sniff_report(check_name, run_id, status, stats, histogram, examples, 
     return "\n".join(lines)
 
 
-def result_json(check_name, run_id, status, stats, details) -> str:
-    """JSON envelope (reference CheckResult.to_dict, reporting.py:55-123)."""
-    from dataclasses import asdict
+REPORT_OUTPUT_FORMAT_TEXT = "text"
+REPORT_OUTPUT_FORMAT_JSON = "json"
+REPORT_OUTPUT_FORMATS = (REPORT_OUTPUT_FORMAT_TEXT, REPORT_OUTPUT_FORMAT_JSON)
 
+
+def validate_report_output_format(report_output_format: str | None) -> str:
+    """Normalize + validate (reference reporting.py:146-156)."""
+    fmt = (report_output_format or REPORT_OUTPUT_FORMAT_TEXT).lower()
+    if fmt not in REPORT_OUTPUT_FORMATS:
+        raise ValueError(
+            "report_output_format must be either 'json' or 'text', "
+            f"got {report_output_format!r}"
+        )
+    return fmt
+
+
+def _convert(v):
+    """JSON-friendly recursive conversion (reference CheckResult.to_dict
+    value converter, reporting.py:62-92)."""
+    from dataclasses import asdict, is_dataclass
+
+    from pyspark.sql import Row
+
+    if v is None:
+        return None
+    if is_dataclass(v) and not isinstance(v, type):
+        return {k: _convert(x) for k, x in asdict(v).items()}
+    if isinstance(v, Row):
+        return {k: _convert(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {k: _convert(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple, set, frozenset)):
+        return [_convert(x) for x in v]
+    return v
+
+
+def check_result_json(
+    *,
+    run_id,
+    check_type,
+    status,
+    check_name=None,
+    check_tags=None,
+    report=None,
+    source_table=None,
+    target_table=None,
+    timezone=None,
+    stats=None,
+    details=None,
+    source_query=None,
+    target_query=None,
+) -> str:
+    """Full result envelope for EVERY check type (reference
+    CheckResult.to_dict + format_check_result, reporting.py:55-205)."""
     payload = {
+        "timestamp": _now_utc_str(),
         "run_id": run_id,
-        "check_name": check_name,
+        "check_type": check_type,
         "status": status,
-        "stats": asdict(stats) if stats else None,
-        "details": {
-            "issue_breakdown": [
-                {"column_name": c, "issue_count": n}
-                for c, n in (details.issue_breakdown if details else [])
-            ],
-            "issue_examples": details.issue_examples if details else [],
-            "source_only_keys_examples": list(details.source_only_keys_examples) if details else [],
-            "target_only_keys_examples": list(details.target_only_keys_examples) if details else [],
-        },
+        "check_name": check_name,
+        "check_tags": check_tags,
+        "report": report,
+        "source_table": source_table if isinstance(source_table, str) else None,
+        "target_table": target_table if isinstance(target_table, str) else None,
+        "timezone": timezone,
     }
-    return json.dumps(payload, default=str)
+    if stats is not None:
+        payload["stats"] = _convert(stats)
+    if details is not None:
+        payload["details"] = _convert(details)
+    if source_query:
+        payload["source_query"] = source_query
+    if target_query:
+        payload["target_query"] = target_query
+    return json.dumps(payload, indent=2, ensure_ascii=False, default=str)
