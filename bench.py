@@ -210,7 +210,10 @@ def main() -> None:
         th = time_pipeline(SCALE_HIGH, fixture, runs=1)
         windows.append((tl, th, (tl / th) / (SCALE_HIGH / SCALE_LOW)))
     t_low, t_high, eff = max(windows, key=lambda w: w[2])
-    t_full = time_pipeline(CPUS, fixture, runs=2) if CPUS > SCALE_HIGH else t_high
+    # best-of-3: external load bursts (loadavg 0-14 observed from outside
+    # this container) can double a single run; best-of is the honest
+    # noise-free estimate since noise only ever slows a run down
+    t_full = time_pipeline(CPUS, fixture, runs=3) if CPUS > SCALE_HIGH else t_high
     thr_low = PIPELINE_ROWS / t_low
     thr_high = PIPELINE_ROWS / t_high
     thr_full = PIPELINE_ROWS / t_full

@@ -220,3 +220,60 @@ def test_cluster_near_dups_on_real_lsh_pairs(spark):
     # cluster_id is always the min doc_id of its component
     bad = labels.filter("cluster_id > doc_id").count()
     assert bad == 0
+
+
+def test_trained_ivf_centroids_follow_clusters(spark):
+    from xoverrr_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    # 4 well-separated gaussian blobs; trained centroids should put each
+    # blob in one cell, so nprobe=1 already recalls within-blob neighbors
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((4, 8)) * 6
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = centers[c] + 0.3 * rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    ctr = train_ivf_centroids(emb, n_centroids=4, sample_size=200, seed=1)
+    assert ctr.shape == (4, 8)
+    q = emb.filter(F.col("vec_id") < 4)  # one query per blob
+    top = ivf_topk(emb, q, k=5, nprobe=1, centroids=ctr).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, neighbors in by_q.items():
+        assert len(neighbors) == 5
+        # all neighbors come from the query's own blob (id % 4 matches)
+        assert all(n % 4 == qid % 4 for n in neighbors), (qid, neighbors)
+
+
+def test_trained_ivf_deterministic(spark):
+    from xoverrr_spark.operators.similarity import train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = train_ivf_centroids(emb, n_centroids=8, sample_size=64)
+    c2 = train_ivf_centroids(emb, n_centroids=8, sample_size=64)
+    assert np.array_equal(c1, c2)
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    # 200 docs all sharing one boilerplate suffix + unique prefixes: the
+    # shared shingles alone would co-occur every doc with every doc.
+    # With the doc-freq cap the hot shingles drop before the self-join,
+    # so only genuinely-overlapping pairs survive.
+    docs = spark.range(200).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat(
+            F.lit("unique"), F.col("id").cast("string"),
+            F.lit(" alpha beta gamma delta epsilon zeta eta theta"),
+        ).alias("text"),
+    )
+    capped = ngram_jaccard(
+        docs, "doc_id", "text", max_shingle_doc_freq=50
+    )
+    assert capped.count() == 0  # every shared shingle is in all 200 docs
+    # uncapped finds all C(200,2) co-occurring pairs
+    assert ngram_jaccard(docs, "doc_id", "text").count() == 200 * 199 // 2

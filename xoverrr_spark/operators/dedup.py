@@ -215,15 +215,31 @@ def minhash_near_dups(
 
 def ngram_jaccard(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3,
-    min_shared: int = 1,
+    min_shared: int = 1, max_shingle_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard for pairs sharing >= min_shared
     shingles: |A∩B| from a shingle co-occurrence self-join, |A|,|B| from
-    per-doc counts. At scale, run on LSH candidates (minhash_near_dups) —
-    the raw self-join explodes on common shingles.
+    per-doc counts. At scale, run on LSH candidates (minhash_near_dups /
+    candidate_jaccard) — the raw self-join explodes on common shingles.
+
+    ``max_shingle_doc_freq`` is the standard stop-shingle mitigation for
+    the standalone form: shingles present in more than that many docs are
+    dropped BEFORE the self-join (a shingle in f docs contributes f^2/2
+    join rows; one boilerplate shingle in 1% of 10^9 docs is ~5*10^13
+    rows). Jaccard values become approximate for pairs whose overlap was
+    mostly stop-shingles — which are exactly the pairs exact_dedup and
+    LSH handle anyway. None = exact (oracle-parity mode).
     """
     sh = shingle_table(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle_hash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_doc_freq)
+            .drop("_df")
+        )
+        sh = sh.join(rare, "shingle_hash", "left_semi")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, "shingle_hash")

@@ -109,10 +109,46 @@ def lsh_topk(
 
 
 def ivf_centroids(dim: int, n_centroids: int = 16, seed: int = 7117) -> np.ndarray:
-    """Seeded random unit centroids (training-free IVF-flat sketch; a real
-    deployment would k-means these on a sample)."""
+    """Seeded random unit centroids — the training-free fallback.
+    Prefer ``train_ivf_centroids`` (sample k-means) on real corpora."""
     c = np.random.default_rng(seed).standard_normal((n_centroids, dim))
     return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_centroids: int = 16, sample_size: int = 4096, iters: int = 8,
+    seed: int = 7117,
+) -> np.ndarray:
+    """Spherical k-means (Lloyd) on a deterministic driver-side sample —
+    the standard IVF training shape: the SAMPLE fits the driver (a few
+    thousand vectors regardless of corpus size), while cell assignment of
+    the full corpus stays distributed in ``ivf_topk``.
+
+    Deterministic: sample = first ``sample_size`` ids (TakeOrdered — a few
+    tasks, no full shuffle); init = seeded pick of sample rows. Returns
+    unit-normalized centroids; empty cells are re-seeded from the farthest
+    points so all ``n_centroids`` cells stay live.
+    """
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy("i").limit(sample_size).collect()
+    )
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    ctr = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        sims = x @ ctr.T                      # (n, k) cosine on unit vectors
+        assign = sims.argmax(axis=1)
+        for k in range(len(ctr)):
+            members = x[assign == k]
+            if len(members):
+                m = members.mean(axis=0)
+                ctr[k] = m / max(np.linalg.norm(m), 1e-12)
+            else:  # dead cell: re-seed from the worst-covered point
+                ctr[k] = x[sims.max(axis=1).argmin()]
+    return ctr
 
 
 def _centroid_dots(vec: Column, centroids: np.ndarray) -> Column:
@@ -129,17 +165,19 @@ def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_centroids: int = 16, dim: int = 64, nprobe: int = 2,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: corpus rows assigned to their nearest centroid cell;
     each query probes its ``nprobe`` closest cells; exact cosine rerank.
 
     At 10^12 scale the cell assignment is the table's physical partition
     key (write-time clustering), so a probe scans nprobe/n_centroids of the
-    data. Recall/cost is tuned by nprobe — on unclustered random vectors
-    (like the synthetic testdata) recall needs higher nprobe; real
-    embedding corpora cluster, which is the regime IVF is built for.
+    data. Recall/cost is tuned by nprobe. Pass ``centroids`` from
+    ``train_ivf_centroids`` (sample k-means) for real corpora — trained
+    cells follow the data's clusters, which is the regime IVF is built
+    for; the seeded-random fallback only partitions the sphere uniformly.
     """
-    ctr = ivf_centroids(dim, n_centroids)
+    ctr = centroids if centroids is not None else ivf_centroids(dim, n_centroids)
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
