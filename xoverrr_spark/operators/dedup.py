@@ -108,17 +108,27 @@ def minhash_signature(
 DEFAULT_MAX_BUCKET = 200
 
 
+def _cap_buckets(buckets: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop rows of over-cap buckets via a window count over (band, bkey) —
+    ONE shuffle on the same key the downstream self-join uses (the join
+    reuses the exchange), instead of a groupBy + semi-join (two extra
+    shuffles). Identical predicate to the oracle's HAVING count <= cap."""
+    if max_bucket_size is None:
+        return buckets
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "bkey")
+    return (
+        buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
 def _capped_bucket_self_join(buckets: DataFrame, max_bucket_size: int | None) -> DataFrame:
     """(doc_a, doc_b) distinct pairs from a (doc_id, band, bkey) bucket
     table, self-joined per bucket with an optional bucket-size cap."""
-    if max_bucket_size is not None:
-        ok = (
-            buckets.groupBy("band", "bkey")
-            .agg(F.count(F.lit(1)).alias("_bsz"))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
-        buckets = buckets.join(ok, ["band", "bkey"], "left_semi")
+    buckets = _cap_buckets(buckets, max_bucket_size)
     a = buckets.alias("a")
     b2 = buckets.alias("b")
     return (
@@ -290,14 +300,7 @@ def simhash_near_dups(
             for b in range(SIMHASH_BANDS)
         ])).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bkey")
-    if max_bucket_size is not None:
-        ok = (
-            bands.groupBy("band", "bkey")
-            .agg(F.count(F.lit(1)).alias("_bsz"))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
-        bands = bands.join(ok, ["band", "bkey"], "left_semi")
+    bands = _cap_buckets(bands, max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(b, ["band", "bkey"])
