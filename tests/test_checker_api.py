@@ -278,3 +278,30 @@ def test_session_stats_and_quote_ident(checker, views):
     assert "api_orders" in checker.session_stats["tables"]
     assert quote_ident("date") == "`date`"
     assert quote_ident("o_orderkey") == "o_orderkey"
+
+
+def test_zero_row_schema_probe_runs_no_job(spark, views):
+    # S7: schema resolution is pure analysis — no Spark job executes
+    sc = spark.sparkContext
+    sc.setJobGroup("schema_probe", "schema probe must not launch jobs")
+    try:
+        schema = spark.sql(
+            "SELECT o_orderkey, o_totalprice FROM api_orders").schema
+    finally:
+        sc.setJobGroup("schema_probe_done", "")
+    assert [f.name for f in schema.fields] == ["o_orderkey", "o_totalprice"]
+    assert list(sc.statusTracker().getJobIdsForGroup("schema_probe")) == []
+
+
+def test_invalid_table_identifier_rejected(checker):
+    # P9: the identifier guard wraps into a FAILED result, never reaches SQL
+    status, report, *_ = checker.check_samples(
+        "orders; DROP TABLE x", "orders", custom_primary_key=["o_orderkey"])
+    assert status == "failed" and "identifier" in report
+
+
+def test_sniff_empty_result_skipped(checker, views):
+    status, report, stats, examples = checker.check_sniff_query(
+        "SELECT o_orderkey, 'y' AS xsniff_passed FROM api_orders WHERE o_orderkey < 0"
+    )
+    assert status == "skipped" and stats.total_rows == 0 and examples == []

@@ -481,6 +481,10 @@ class QualityChecker:
                     S.evaluate_sniff(self._date_filter(df, date_column, (cs, ce)))
                     for cs, ce in chunks
                 ])
+            if stats.total_rows == 0:
+                # reference marks an empty sniff result SKIPPED (core.py:689)
+                self._track(D.CHECK_SKIPPED)
+                return D.CHECK_SKIPPED, "sniff query returned no rows", stats, []
             status = (
                 D.CHECK_SUCCESS if stats.issue_rows_pct <= tolerance_pct else D.CHECK_FAILED
             )

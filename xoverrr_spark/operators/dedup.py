@@ -215,7 +215,10 @@ def minhash_near_dups(
     -> (doc_a, doc_b, jaccard >= threshold).
 
     The candidate pair set is persisted so its two consumers (the id
-    semi-join and the final pair join) share one LSH bucket join.
+    semi-join and the final pair join) share one LSH bucket join; the
+    cache entry is LRU-evicted by Spark when memory is needed (the result
+    is lazy, so an eager unpersist here would silently re-run the bucket
+    join twice).
     """
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
     cands = lsh_candidate_pairs(sig, num_hashes, bands, max_bucket_size).persist()
