@@ -300,6 +300,30 @@ def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_source_cap(spark, sf_dir):
+    from xoverrr_spark.operators.corpus import cap_per_source
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_source(d, "source", "doc_id", oracle.SOURCE_CAP_K)
+
+
+def q_source_cap_hash(spark, sf_dir):
+    from xoverrr_spark.operators.corpus import cap_per_source_hash
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_source_hash(d, "source", "doc_id", oracle.SOURCE_CAP_K)
+
+
+def q_source_keep_rate(spark, sf_dir):
+    from xoverrr_spark.operators.corpus import source_keep_rate
+
+    d = _t(spark, sf_dir, "documents")
+    dec = quality_filter(
+        d.withColumnRenamed("doc_id", "image_id"), caption_col="text", with_ppl=False
+    ).withColumnRenamed("image_id", "doc_id")
+    return source_keep_rate(dec, d)
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < oracle.ANN_QUERY_MAX_ID)
@@ -382,6 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups_documents": q_simhash_near_dups,
         "minhash_near_dups_documents": q_minhash_near_dups,
         "near_dup_clusters_documents": q_near_dup_clusters,
+        "source_cap_documents": q_source_cap,
+        "source_cap_hash_documents": q_source_cap_hash,
+        "source_keep_rate_documents": q_source_keep_rate,
         "ann_topk_embeddings": q_ann_topk,
         "embedding_near_dup_pairs": q_embedding_near_dups,
         "quality_filter_documents": q_quality_filter_docs,
@@ -421,6 +448,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups_documents": oracle.simhash_near_dups_documents(),
         "minhash_near_dups_documents": oracle.minhash_near_dups_documents(),
         "near_dup_clusters_documents": oracle.near_dup_clusters_documents(),
+        "source_cap_documents": oracle.source_cap_documents(),
+        "source_cap_hash_documents": oracle.source_cap_hash_documents(),
+        "source_keep_rate_documents": oracle.source_keep_rate_documents(),
         "ann_topk_embeddings": oracle.ann_topk_embeddings(),
         "embedding_near_dup_pairs": oracle.embedding_near_dup_pairs(),
         "quality_filter_documents": oracle.quality_filter_documents(),

@@ -1,0 +1,52 @@
+"""Corpus-curation operator tests: per-source caps + source-level quality."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xoverrr_spark.operators.corpus import (
+    cap_per_source,
+    cap_per_source_hash,
+    filter_low_quality_sources,
+    source_keep_rate,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"src{i % 3}", f"text {i}") for i in range(90)]
+    return spark.createDataFrame(rows, "doc_id int, source string, text string")
+
+
+def test_cap_per_source_exact(docs):
+    out = cap_per_source(docs, "source", "doc_id", 5)
+    assert out.count() == 15
+    got = out.groupBy("source").agg(F.count(F.lit(1)).alias("n"),
+                                    F.min("doc_id").alias("lo")).collect()
+    assert all(r["n"] == 5 for r in got)
+    # deterministic: the k SMALLEST ids of each source survive
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {i for i in range(90) if i // 3 < 5}
+
+
+def test_cap_per_source_hash_approx_and_stable(docs):
+    out1 = cap_per_source_hash(docs, "source", "doc_id", 10)
+    out2 = cap_per_source_hash(docs.repartition(7), "source", "doc_id", 10)
+    ids1 = sorted(r["doc_id"] for r in out1.collect())
+    ids2 = sorted(r["doc_id"] for r in out2.collect())
+    assert ids1 == ids2            # pure function of doc_id — partitioning-stable
+    per = out1.groupBy("source").count().collect()
+    for r in per:                  # ~k kept per source (binomial around 10 of 30)
+        assert 2 <= r["count"] <= 20, per
+
+
+def test_source_keep_rate_and_filter(spark, docs):
+    decisions = docs.select(
+        "doc_id", (F.col("source") != "src2").alias("keep"))
+    rates = source_keep_rate(decisions, docs)
+    got = {r["source"]: (r["total_docs"], r["kept_docs"], r["keep_pct"])
+           for r in rates.collect()}
+    assert got["src0"] == (30, 30, 100.0)
+    assert got["src2"] == (30, 0, 0.0)
+    survivors = filter_low_quality_sources(docs, rates, min_keep_pct=50.0)
+    assert survivors.count() == 60
+    assert survivors.filter("source = 'src2'").count() == 0

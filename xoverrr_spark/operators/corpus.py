@@ -1,0 +1,92 @@
+"""Corpus-level curation operators — per-source (domain) caps and
+source-quality aggregation, the standard web-scale companions to the
+per-row quality filter (cap boilerplate-heavy domains, drop low-quality
+sources wholesale).
+
+Generalizes the reference's per-group example-capping convention
+(``/root/reference/src/xoverrr/utils.py:387-391`` bounded per-column
+examples; ``core.py:1290-1313`` per-category caps) from report examples to
+corpus curation. All hash math rides md5 so the DuckDB oracle replays it
+value-for-value.
+
+Scale notes (10^9+ docs):
+
+- ``cap_per_source`` (exact): rank-within-source window — one shuffle on
+  source. A window partition cannot be split by AQE, so a single hot
+  domain with 10^8 docs serializes on one task. Exact form is for
+  moderate-cardinality groups.
+- ``cap_per_source_hash`` (scale path): deterministic hash-threshold —
+  keeps ~k docs per source with NO window: one count aggregate + one join
+  + a per-row predicate. Hot domains stay fully parallel; selection is
+  stable under repartitioning (pure function of doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.tokens import md5_long
+
+
+def cap_per_source(
+    df: DataFrame, source_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Keep at most ``k`` docs per source — the k smallest ids
+    (deterministic under any partitioning)."""
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def cap_per_source_hash(
+    df: DataFrame, source_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Keep ~``k`` docs per source via a deterministic hash threshold —
+    the windowless scale path for hot domains.
+
+    doc kept iff ``md5_long(id) mod n_source < k`` where n_source is the
+    source's doc count: each doc survives with probability k/n, keeping k
+    in expectation, chosen by a pure function of the id (stable across
+    runs/partitionings). Replayable in DuckDB with the same md5 math.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        df.join(counts, source_col)
+        .filter(F.pmod(md5_long(F.col(id_col).cast("string")), F.col("_n")) < k)
+        .drop("_n")
+    )
+
+
+def source_keep_rate(
+    decisions: DataFrame, docs: DataFrame,
+    id_col: str = "doc_id", source_col: str = "source",
+) -> DataFrame:
+    """(source, total_docs, kept_docs, keep_pct) — the aggregation behind
+    source-level filtering (drop a whole domain when its keep rate is
+    pathological). ``decisions`` is quality_filter output keyed by
+    ``id_col``; one broadcast-or-shuffle join + one groupBy on source."""
+    joined = decisions.select(F.col(id_col), "keep").join(
+        docs.select(F.col(id_col), F.col(source_col)), id_col
+    )
+    return joined.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.count(F.when(F.col("keep"), 1)).alias("kept_docs"),
+        (
+            F.count(F.when(F.col("keep"), 1)) * 100.0 / F.count(F.lit(1))
+        ).alias("keep_pct"),
+    )
+
+
+def filter_low_quality_sources(
+    df: DataFrame, rates: DataFrame, source_col: str = "source",
+    min_keep_pct: float = 10.0,
+) -> DataFrame:
+    """Drop every doc of sources whose keep rate is below the floor —
+    left_semi against the (small) passing-source list."""
+    ok = rates.filter(F.col("keep_pct") >= min_keep_pct).select(source_col)
+    return df.join(F.broadcast(ok), source_col, "left_semi")

@@ -550,6 +550,52 @@ SELECT doc_a, doc_b, hamming FROM cands WHERE hamming <= {max_hamming}
 """
 
 
+# ------------------------------------------------------- corpus curation ----
+
+SOURCE_CAP_K = 20
+
+
+def source_cap_documents(k: int = SOURCE_CAP_K) -> str:
+    """Twin of corpus.cap_per_source (exact window form)."""
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= {k}
+"""
+
+
+def source_cap_hash_documents(k: int = SOURCE_CAP_K) -> str:
+    """Twin of corpus.cap_per_source_hash (windowless scale form): doc kept
+    iff md5_long(id) mod n_source < k — same md5 integer math as Spark."""
+    from .functions.tokens import md5_long_sql
+
+    h = md5_long_sql("CAST(d.doc_id AS VARCHAR)")
+    return f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+SELECT d.doc_id, d.source
+FROM documents d JOIN c USING (source)
+WHERE {h} % c.n < {k}
+"""
+
+
+def source_keep_rate_documents() -> str:
+    """Twin of corpus.source_keep_rate over the quality-filter decisions."""
+    return f"""
+WITH qf AS ({quality_filter_documents().strip()}),
+j AS (
+  SELECT d.source, qf.keep
+  FROM qf JOIN documents d ON d.doc_id = qf.doc_id
+)
+SELECT source,
+       COUNT(*) AS total_docs,
+       COUNT(CASE WHEN keep THEN 1 END) AS kept_docs,
+       COUNT(CASE WHEN keep THEN 1 END) * 100.0 / COUNT(*) AS keep_pct
+FROM j GROUP BY source
+"""
+
+
 # ------------------------------------------------------------ similarity ----
 
 ANN_QUERY_MAX_ID = 8
