@@ -4,6 +4,11 @@ one engine, sources differ only by reader format.
 
 Accepted specs:
 - a filesystem path              -> ``spark.read.parquet`` (testdata, local)
+- ``parquet:`` / ``orc:`` path   -> explicit columnar format readers
+- ``csv:`` / ``json:`` path      -> text-format readers (csv assumes a
+                                    header row; schema inference costs an
+                                    extra scan — fine for dev inputs, give
+                                    production CSVs an explicit schema)
 - ``iceberg:catalog.db.table``   -> Iceberg table scan (partition pruning,
                                     snapshot reads; needs the Iceberg
                                     runtime jar on the cluster — present in
@@ -52,6 +57,14 @@ def load_table(
         return reader.load(ident)
     if spec.startswith("table:"):
         return spark.table(spec[len("table:"):])
+    if spec.startswith("parquet:"):
+        return spark.read.parquet(spec[len("parquet:"):])
+    if spec.startswith("orc:"):
+        return spark.read.orc(spec[len("orc:"):])
+    if spec.startswith("csv:"):
+        return spark.read.csv(spec[len("csv:"):], header=True, inferSchema=True)
+    if spec.startswith("json:"):
+        return spark.read.json(spec[len("json:"):])
     if os.path.sep in spec or os.path.exists(spec):
         return spark.read.parquet(spec)
     return spark.table(spec)
