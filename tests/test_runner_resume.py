@@ -66,6 +66,12 @@ def test_lineage_and_metrics_written(spark, tmp_path):
     assert lin["n_rows"].sum() == 300
     met = spark.read.parquet(f"{out}/metrics").toPandas()
     assert {"reason", "issue_count", "run_id"} <= set(met.columns)
+    # per-language keep metrics (skewed language clusters per north rule)
+    lm = spark.read.parquet(f"{out}/metrics_lang").toPandas()
+    assert {"lang", "n_rows", "n_keep", "run_id"} <= set(lm.columns)
+    assert lm["n_rows"].sum() == 300
+    assert (lm["n_keep"] <= lm["n_rows"]).all()
+    assert "en" in set(lm["lang"])
     assert s["status"] == "success"
 
 

@@ -103,6 +103,17 @@ def _run_bucket(
     dec_out = spark.read.parquet(dec_path)
     metrics = drop_reason_breakdown(dec_out).withColumn("run_id", F.lit(run_id))
     metrics.write.mode("overwrite").parquet(os.path.join(output_dir, "metrics", f"bucket={b}"))
+    # per-language keep metrics: the skew the north rule calls out lives in
+    # language clusters, so drop-rate regressions must be visible per lang
+    lang_metrics = (
+        dec_out.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_keep"),
+        ).withColumn("run_id", F.lit(run_id))
+    )
+    lang_metrics.write.mode("overwrite").parquet(
+        os.path.join(output_dir, "metrics_lang", f"bucket={b}")
+    )
     counts = dec_out.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("keep"), 1)).alias("n_keep"),
