@@ -300,6 +300,15 @@ def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_cluster_survivors(spark, sf_dir):
+    from xoverrr_spark.operators.dedup import cluster_near_dups, cluster_survivors
+
+    d = _t(spark, sf_dir, "documents")
+    labels = cluster_near_dups(simhash_near_dups(d, "doc_id", "text"))
+    scores = d.select("doc_id", quality_score(F.col("text")).alias("quality_score"))
+    return cluster_survivors(labels, scores)
+
+
 def q_source_cap(spark, sf_dir):
     from xoverrr_spark.operators.corpus import cap_per_source
 
@@ -406,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups_documents": q_simhash_near_dups,
         "minhash_near_dups_documents": q_minhash_near_dups,
         "near_dup_clusters_documents": q_near_dup_clusters,
+        "cluster_survivors_documents": q_cluster_survivors,
         "source_cap_documents": q_source_cap,
         "source_cap_hash_documents": q_source_cap_hash,
         "source_keep_rate_documents": q_source_keep_rate,
@@ -448,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups_documents": oracle.simhash_near_dups_documents(),
         "minhash_near_dups_documents": oracle.minhash_near_dups_documents(),
         "near_dup_clusters_documents": oracle.near_dup_clusters_documents(),
+        "cluster_survivors_documents": oracle.cluster_survivors_documents(),
         "source_cap_documents": oracle.source_cap_documents(),
         "source_cap_hash_documents": oracle.source_cap_hash_documents(),
         "source_keep_rate_documents": oracle.source_keep_rate_documents(),

@@ -277,3 +277,17 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     assert capped.count() == 0  # every shared shingle is in all 200 docs
     # uncapped finds all C(200,2) co-occurring pairs
     assert ngram_jaccard(docs, "doc_id", "text").count() == 200 * 199 // 2
+
+
+def test_cluster_survivors_pick_max_quality(spark):
+    from xoverrr_spark.operators.dedup import cluster_survivors
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "doc_id int, cluster_id int")
+    scores = spark.createDataFrame(
+        [(1, 50.0), (2, 90.0), (3, 90.0), (10, 10.0), (11, 5.0)],
+        "doc_id int, quality_score double")
+    got = {r["cluster_id"]: r["doc_id"]
+           for r in cluster_survivors(labels, scores).collect()}
+    # cluster 1: 2 and 3 tie at 90 -> smallest id wins; cluster 10: max score
+    assert got == {1: 2, 10: 10}

@@ -389,6 +389,31 @@ def cluster_near_dups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     return labels
 
 
+def cluster_survivors(
+    labels: DataFrame, scores: DataFrame,
+    id_col: str = "doc_id", score_col: str = "quality_score",
+) -> DataFrame:
+    """One survivor per near-dup cluster: the HIGHEST-QUALITY member (ties
+    to the smallest id) — quality-aware canonical selection, replacing the
+    min-id default when a score column is available (dedup should keep the
+    best copy of boilerplate families, not an arbitrary one).
+
+    ``labels`` = cluster_near_dups output (doc_id, cluster_id); ``scores``
+    keyed by ``id_col``. One join + a rank window partitioned by
+    cluster_id — near-dup clusters are small, so the window never
+    serializes a hot partition.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        labels.join(scores, id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 SIMHASH_BITS = 48
 
 

@@ -503,6 +503,27 @@ SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
 """
 
 
+def cluster_survivors_documents(max_hamming: int = 3) -> str:
+    """Twin of dedup.cluster_survivors over the simhash near-dup clusters:
+    per cluster keep the max-quality_score member, ties to min doc_id."""
+    return f"""
+WITH labels AS (
+  SELECT * FROM ({near_dup_clusters_documents(max_hamming).strip()})
+),
+scores AS ({quality_score_documents().strip()}),
+j AS (
+  SELECT l.doc_id, l.cluster_id, s.quality_score
+  FROM labels l JOIN scores s USING (doc_id)
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id
+  ) AS rn FROM j
+)
+SELECT doc_id, cluster_id, quality_score FROM r WHERE rn = 1
+"""
+
+
 def simhash_documents() -> str:
     bit_sums = ",\n       ".join(
         f"SUM(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
