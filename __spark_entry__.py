@@ -300,6 +300,14 @@ def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_decontaminate(spark, sf_dir):
+    from xoverrr_spark.operators.dedup import contaminated_docs
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % oracle.DECONTAM_BENCH_MOD == 0)
+    return contaminated_docs(d, bench, "doc_id", "text")
+
+
 def q_cluster_survivors(spark, sf_dir):
     from xoverrr_spark.operators.dedup import cluster_near_dups, cluster_survivors
 
@@ -416,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups_documents": q_minhash_near_dups,
         "near_dup_clusters_documents": q_near_dup_clusters,
         "cluster_survivors_documents": q_cluster_survivors,
+        "decontaminate_documents": q_decontaminate,
         "source_cap_documents": q_source_cap,
         "source_cap_hash_documents": q_source_cap_hash,
         "source_keep_rate_documents": q_source_keep_rate,
@@ -459,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups_documents": oracle.minhash_near_dups_documents(),
         "near_dup_clusters_documents": oracle.near_dup_clusters_documents(),
         "cluster_survivors_documents": oracle.cluster_survivors_documents(),
+        "decontaminate_documents": oracle.decontaminate_documents(),
         "source_cap_documents": oracle.source_cap_documents(),
         "source_cap_hash_documents": oracle.source_cap_hash_documents(),
         "source_keep_rate_documents": oracle.source_keep_rate_documents(),

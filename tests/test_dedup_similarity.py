@@ -291,3 +291,27 @@ def test_cluster_survivors_pick_max_quality(spark):
            for r in cluster_survivors(labels, scores).collect()}
     # cluster 1: 2 and 3 tie at 90 -> smallest id wins; cluster 10: max score
     assert got == {1: 2, 10: 10}
+
+
+def test_decontamination_flags_benchmark_overlap(spark):
+    from xoverrr_spark.operators.dedup import contaminated_docs
+
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "completely unrelated text about spark shuffles and joins"),
+        (3, "we saw the quick brown fox near the old barn"),  # shares 3-grams with bench
+    ], "doc_id int, text string")
+    bench = spark.createDataFrame(
+        [(100, "did the quick brown fox really jump")], "doc_id int, text string")
+    hit = {r["doc_id"] for r in contaminated_docs(docs, bench, "doc_id", "text").collect()}
+    assert hit == {1, 3}
+
+
+def test_decontamination_benchmark_side_broadcasts(spark):
+    from xoverrr_spark.operators.dedup import contaminated_docs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.limit(5)
+    plan = contaminated_docs(docs, bench, "doc_id", "text") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan

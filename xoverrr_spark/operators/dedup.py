@@ -389,6 +389,30 @@ def cluster_near_dups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     return labels
 
 
+def contaminated_docs(
+    df: DataFrame, benchmark: DataFrame, id_col: str, text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Training-data decontamination: doc ids sharing ANY word ``shingle_n``-gram
+    with the benchmark corpus (eval-set leakage must not reach training data).
+
+    Scale shape: benchmarks are thousands of rows while the corpus is
+    billions, so the benchmark's distinct shingle set broadcasts and the
+    corpus side is ONE pass — explode + broadcast left_semi + distinct,
+    no shuffle of the corpus rows themselves (only the surviving ids
+    deduplicate).
+    """
+    bench_sh = (
+        shingle_table(benchmark, id_col, text_col, shingle_n)
+        .select("shingle_hash").distinct()
+    )
+    doc_sh = shingle_table(df, id_col, text_col, shingle_n)
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle_hash", "left_semi")
+        .select("doc_id").distinct()
+    )
+
+
 def cluster_survivors(
     labels: DataFrame, scores: DataFrame,
     id_col: str = "doc_id", score_col: str = "quality_score",

@@ -503,6 +503,19 @@ SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
 """
 
 
+DECONTAM_BENCH_MOD = 50  # synthetic "benchmark set": doc_id % 50 == 0
+
+
+def decontaminate_documents() -> str:
+    """Twin of dedup.contaminated_docs with the synthetic benchmark subset:
+    docs sharing any 3-gram shingle with a doc_id % 50 == 0 document."""
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+bench AS (SELECT DISTINCT x FROM sh WHERE doc_id % {DECONTAM_BENCH_MOD} = 0)
+SELECT DISTINCT doc_id FROM sh SEMI JOIN bench USING (x)
+"""
+
+
 def cluster_survivors_documents(max_hamming: int = 3) -> str:
     """Twin of dedup.cluster_survivors over the simhash near-dup clusters:
     per cluster keep the max-quality_score member, ties to min doc_id."""
