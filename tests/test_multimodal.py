@@ -58,3 +58,31 @@ def test_thumbnail_shape(spark):
     out = thumbnail(df, size=4).toPandas()
     assert len(out) == 20
     assert all(len(bytes(t)) == 4 * 4 * 3 for t in out["thumb"])
+
+
+def test_compute_phash_deterministic_and_robust(spark):
+    from xoverrr_spark.fixtures.images import images_df
+    from xoverrr_spark.operators.multimodal import compute_phash
+
+    df = images_df(spark, 40, 21)
+    h1 = {r["image_id"]: r["phash"] for r in compute_phash(df).collect()}
+    h2 = {r["image_id"]: r["phash"] for r in compute_phash(df).collect()}
+    assert h1 == h2 and len(h1) == 40          # deterministic
+    assert all(0 <= v < 2**63 for v in h1.values())  # bucket-safe longs
+
+
+def test_compute_phash_stable_under_lossy_quantization(spark):
+    import numpy as np
+
+    from xoverrr_spark.codecs.png import encode_image
+    from xoverrr_spark.operators.multimodal import compute_phash
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    rows = [("orig", encode_image(px, "png"), 16, 16, "png", "c", 0),
+            ("lossy", encode_image(px, "jpeg"), 16, 16, "jpeg", "c", 0)]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long")
+    got = {r["image_id"]: r["phash"] for r in compute_phash(df).collect()}
+    ham = bin(got["orig"] ^ got["lossy"]).count("1")
+    assert ham <= 4, ham  # quantization moves at most a few cells across the mean

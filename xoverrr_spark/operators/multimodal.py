@@ -83,6 +83,47 @@ def psnr_vs_reference(df: DataFrame, reference_pixels: dict[str, np.ndarray]) ->
     return df.select("image_id", "bytes", "fmt").mapInPandas(batches, PSNR_SCHEMA)
 
 
+PHASH_SCHEMA = "image_id string, phash long"
+
+
+def compute_phash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual hash (average-hash) computed FROM PIXELS — the real
+    producer of the ``phash`` column the runner buckets on (north rule
+    partitions by phash bucket; upstream tables may not carry one).
+
+    aHash: decode -> ITU-R 601 luma -> ``grid`` x ``grid`` box-downsample ->
+    threshold each cell at the grid mean -> pack the 64 bits into a long.
+    Visually-identical images (including the deterministic lossy stand-in's
+    quantization) land within a few bits, so phash-bucketing groups
+    near-identical images. mapInPandas, no shuffle; cost parallelizes with
+    input splits.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = decode_image(bytes(blob), fmt).astype(np.float64)
+                luma = px @ np.array([0.299, 0.587, 0.114])
+                h, w = luma.shape
+                ys = np.linspace(0, h, grid + 1).astype(int)
+                xs = np.linspace(0, w, grid + 1).astype(int)
+                cells = np.empty((grid, grid), np.float64)
+                for i in range(grid):
+                    for j in range(grid):
+                        cells[i, j] = luma[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+                bits = (cells >= cells.mean()).reshape(-1)
+                val = 0
+                for k, b in enumerate(bits):
+                    if b:
+                        val |= 1 << k
+                # keep int64-positive: fold the top bit (bucket keys only)
+                recs.append((iid, int(val & 0x7FFFFFFFFFFFFFFF)))
+            yield pd.DataFrame(recs, columns=["image_id", "phash"])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(batches, PHASH_SCHEMA)
+
+
 RESIZED_SCHEMA = "image_id string, h int, w int, thumb binary"
 
 
