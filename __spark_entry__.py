@@ -300,6 +300,29 @@ def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_curate_documents(spark, sf_dir):
+    """The flagship curation COMPOSITION, one lazy plan end-to-end:
+    exact-dedup survivors -> quality-filter keep -> drop docs sharing
+    n-grams with the benchmark subset -> per-source cap. Each stage is an
+    already-oracle-verified operator; this query pins that they compose."""
+    from xoverrr_spark.operators.corpus import cap_per_source
+    from xoverrr_spark.operators.dedup import contaminated_docs, exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    survivors = exact_dedup(d, "doc_id", "text")
+    dec = quality_filter(
+        survivors.withColumnRenamed("doc_id", "image_id"),
+        caption_col="text", with_ppl=False,
+    )
+    keep_ids = dec.filter("keep").select(F.col("image_id").alias("doc_id"))
+    s2 = survivors.join(keep_ids, "doc_id", "left_semi")
+    bench = d.filter(F.col("doc_id") % oracle.DECONTAM_BENCH_MOD == 0)
+    s3 = s2.join(contaminated_docs(d, bench, "doc_id", "text"), "doc_id", "left_anti")
+    return cap_per_source(
+        s3.select("doc_id", "source"), "source", "doc_id", oracle.CURATE_SOURCE_CAP
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     from xoverrr_spark.operators.dedup import contaminated_docs
 
@@ -425,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters_documents": q_near_dup_clusters,
         "cluster_survivors_documents": q_cluster_survivors,
         "decontaminate_documents": q_decontaminate,
+        "curate_documents": q_curate_documents,
         "source_cap_documents": q_source_cap,
         "source_cap_hash_documents": q_source_cap_hash,
         "source_keep_rate_documents": q_source_keep_rate,
@@ -469,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters_documents": oracle.near_dup_clusters_documents(),
         "cluster_survivors_documents": oracle.cluster_survivors_documents(),
         "decontaminate_documents": oracle.decontaminate_documents(),
+        "curate_documents": oracle.curate_documents(),
         "source_cap_documents": oracle.source_cap_documents(),
         "source_cap_hash_documents": oracle.source_cap_hash_documents(),
         "source_keep_rate_documents": oracle.source_keep_rate_documents(),

@@ -504,6 +504,40 @@ SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
 
 
 DECONTAM_BENCH_MOD = 50  # synthetic "benchmark set": doc_id % 50 == 0
+CURATE_SOURCE_CAP = 20
+
+
+def curate_documents() -> str:
+    """Twin of the full curation composition (q_curate_documents):
+    exact-dedup survivors -> quality keep -> drop benchmark-contaminated
+    -> per-source cap. Every stage reuses an already-verified twin."""
+    return f"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+dedup AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fp
+  ) WHERE rn = 1
+),
+qf AS ({quality_filter_documents().strip()}),
+contam AS ({decontaminate_documents().strip()}),
+kept AS (
+  SELECT dd.doc_id, dd.source
+  FROM dedup dd
+  JOIN qf ON qf.doc_id = dd.doc_id AND qf.keep
+  ANTI JOIN contam c ON c.doc_id = dd.doc_id
+)
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM kept
+) WHERE rn <= {CURATE_SOURCE_CAP}
+"""
 
 
 def decontaminate_documents() -> str:
