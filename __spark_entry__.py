@@ -307,20 +307,19 @@ def q_curate_documents(spark, sf_dir):
     already-oracle-verified operator; this query pins that they compose."""
     from xoverrr_spark.operators.corpus import cap_per_source
     from xoverrr_spark.operators.dedup import contaminated_docs, exact_dedup
+    from xoverrr_spark.pipeline.quality_filter import annotate
 
     d = _t(spark, sf_dir, "documents")
     survivors = exact_dedup(d, "doc_id", "text")
-    dec = quality_filter(
-        survivors.withColumnRenamed("doc_id", "image_id"),
-        caption_col="text", with_ppl=False,
+    # annotate keeps every input column, so the keep decision is a FILTER on
+    # the survivor frame (no self-semi-join that would recompute the dedup)
+    s2 = (
+        annotate(survivors, caption_col="text", with_ppl=False)
+        .filter("keep").select("doc_id", "source")
     )
-    keep_ids = dec.filter("keep").select(F.col("image_id").alias("doc_id"))
-    s2 = survivors.join(keep_ids, "doc_id", "left_semi")
     bench = d.filter(F.col("doc_id") % oracle.DECONTAM_BENCH_MOD == 0)
     s3 = s2.join(contaminated_docs(d, bench, "doc_id", "text"), "doc_id", "left_anti")
-    return cap_per_source(
-        s3.select("doc_id", "source"), "source", "doc_id", oracle.CURATE_SOURCE_CAP
-    )
+    return cap_per_source(s3, "source", "doc_id", oracle.CURATE_SOURCE_CAP)
 
 
 def q_decontaminate(spark, sf_dir):
