@@ -127,8 +127,16 @@ def _cap_buckets(buckets: DataFrame, max_bucket_size: int | None) -> DataFrame:
 
 def _capped_bucket_self_join(buckets: DataFrame, max_bucket_size: int | None) -> DataFrame:
     """(doc_a, doc_b) distinct pairs from a (doc_id, band, bkey) bucket
-    table, self-joined per bucket with an optional bucket-size cap."""
-    buckets = _cap_buckets(buckets, max_bucket_size)
+    table, self-joined per bucket with an optional bucket-size cap.
+
+    The bucket table is persisted before the self-join: Spark does not
+    reuse the exchange across the two sides of a self-join (verified:
+    ReusedExchange never fires here), so without the cache the upstream
+    shingle explode + k-min aggregation — the most expensive stage —
+    executes twice. Caching costs ~40 bytes/doc/band; LRU eviction
+    reclaims it under pressure (an eager unpersist would re-trigger the
+    double compute because the result is lazy)."""
+    buckets = _cap_buckets(buckets, max_bucket_size).persist()
     a = buckets.alias("a")
     b2 = buckets.alias("b")
     return (
@@ -303,7 +311,9 @@ def simhash_near_dups(
             for b in range(SIMHASH_BANDS)
         ])).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bkey")
-    bands = _cap_buckets(bands, max_bucket_size)
+    # persisted for the same self-join double-compute reason as
+    # _capped_bucket_self_join (the 48-column simhash agg runs once)
+    bands = _cap_buckets(bands, max_bucket_size).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(b, ["band", "bkey"])
