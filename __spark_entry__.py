@@ -300,6 +300,12 @@ def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_session_stats(spark, sf_dir):
+    from xoverrr_spark.operators.counts import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"))
+
+
 def q_curate_documents(spark, sf_dir):
     """The flagship curation COMPOSITION, one lazy plan end-to-end:
     exact-dedup survivors -> quality-filter keep -> drop docs sharing
@@ -422,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_counts_events": q_daily_counts,
         "counts_crossfill_events": q_counts_crossfill,
         "count_mismatch_days": q_count_mismatch,
+        "session_stats_events": q_session_stats,
         "json_extract_events": q_json_extract,
         "rollup_events": q_rollup_events,
         "sniff_histogram_orders": q_sniff_histogram,
@@ -467,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_counts_events": oracle.daily_counts_events(),
         "counts_crossfill_events": oracle.counts_crossfill_events(),
         "count_mismatch_days": oracle.count_mismatch_days(),
+        "session_stats_events": oracle.session_stats_events(),
         "json_extract_events": oracle.json_extract_events(),
         "rollup_events": oracle.rollup_events(),
         "sniff_histogram_orders": oracle.sniff_histogram_orders(),

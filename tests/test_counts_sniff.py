@@ -95,3 +95,25 @@ def test_drop_reason_examples_capped(spark):
         by_reason.setdefault(r["reason"], []).append(r["example_key"])
     assert by_reason["too_short"] == [0, 1, 2]
     assert by_reason["toxic"] == [7, 8, 9]
+
+
+def test_sessionize_gap_semantics(spark):
+    from xoverrr_spark.operators.counts import session_stats, sessionize
+
+    rows = [
+        # user 1: two sessions (gap 3600s > 1800s between e2 and e3)
+        (1, 1, "2024-01-01 10:00:00"),
+        (2, 1, "2024-01-01 10:10:00"),
+        (3, 1, "2024-01-01 11:20:00"),
+        # user 2: one session, gap exactly 1800s is NOT a break (> only)
+        (4, 2, "2024-01-01 09:00:00"),
+        (5, 2, "2024-01-01 09:30:00"),
+    ]
+    df = spark.createDataFrame(rows, "event_id int, user_id int, ts_s string") \
+        .withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts_s")) \
+        .drop("ts_s")
+    seq = {r["event_id"]: r["session_seq"] for r in sessionize(df).collect()}
+    assert seq == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+    stats = {(r["user_id"], r["session_seq"]): r["n_events"]
+             for r in session_stats(df).collect()}
+    assert stats == {(1, 1): 2, (1, 2): 1, (2, 1): 2}

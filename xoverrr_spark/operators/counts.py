@@ -84,3 +84,54 @@ def check_counts(
         int(row["ts"]), int(row["tt"]), int(row["d"]), int(row["c"]),
         pct, 100 - pct, int(row["m"]),
     )
+
+
+DEFAULT_SESSION_GAP_S = 1800
+
+
+def sessionize(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
+    id_col: str = "event_id", gap_seconds: int = DEFAULT_SESSION_GAP_S,
+) -> DataFrame:
+    """Gap-based sessionization: a user's event starts a new session when
+    the gap since their previous event exceeds ``gap_seconds``;
+    ``session_seq`` is the user's running session number (1-based).
+
+    One per-user window (lag + running sum over the same sort) — a single
+    shuffle on user_id; per-user event counts are small, so no hot
+    partition. Timestamps are truncated to epoch seconds so the gap
+    arithmetic replays exactly in the DuckDB oracle (micros would compare
+    float-ish across engines).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy("_tsec", id_col)
+    # TIMESTAMP_NTZ has no direct long cast under ANSI; the intermediate
+    # timestamp cast interprets the naive value in the session tz (UTC),
+    # exactly DuckDB's epoch() semantics on naive timestamps
+    tsec = F.col(ts_col).cast("timestamp").cast("long")
+    gap = F.col("_tsec") - F.lag("_tsec").over(w)
+    brk = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return (
+        events.withColumn("_tsec", tsec)
+        .withColumn("_brk", brk)
+        .withColumn(
+            "session_seq",
+            F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .drop("_brk")
+    )
+
+
+def session_stats(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
+    id_col: str = "event_id", gap_seconds: int = DEFAULT_SESSION_GAP_S,
+) -> DataFrame:
+    """(user_id, session_seq, n_events, session_start, session_end) —
+    one row per session; start/end as epoch seconds."""
+    s = sessionize(events, user_col, ts_col, id_col, gap_seconds)
+    return s.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("_tsec").alias("session_start"),
+        F.max("_tsec").alias("session_end"),
+    )

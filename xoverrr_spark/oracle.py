@@ -618,6 +618,36 @@ SELECT doc_a, doc_b, hamming FROM cands WHERE hamming <= {max_hamming}
 """
 
 
+SESSION_GAP_S = 1800
+
+
+def session_stats_events(gap_seconds: int = SESSION_GAP_S) -> str:
+    """Twin of counts.session_stats: gap-based sessionization over the
+    events table (lag + running-sum windows on truncated epoch seconds)."""
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
+),
+g AS (
+  SELECT *, tsec - LAG(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS gap
+  FROM e
+),
+m AS (
+  SELECT *, CASE WHEN gap IS NULL OR gap > {gap_seconds} THEN 1 ELSE 0 END AS brk
+  FROM g
+),
+s AS (
+  SELECT *, CAST(SUM(brk) OVER (
+    PARTITION BY user_id ORDER BY tsec, event_id ROWS UNBOUNDED PRECEDING
+  ) AS BIGINT) AS session_seq
+  FROM m
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(tsec) AS session_start, MAX(tsec) AS session_end
+FROM s GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------- corpus curation ----
 
 SOURCE_CAP_K = 20
