@@ -174,7 +174,7 @@ def run_operator_queries(spark) -> dict[str, float]:
         "langid_documents", "quality_filter_documents",
         "minhash_signatures_documents", "lsh_candidates_documents",
         "simhash_documents", "ann_topk_embeddings",
-        "curate_documents",
+        "curate_documents", "session_stats_events",
     ]
     qs = entrymod.queries()
     out = {}
