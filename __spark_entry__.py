@@ -300,6 +300,12 @@ def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_profile_orders(spark, sf_dir):
+    from xoverrr_spark.operators.profile import profile
+
+    return profile(_t(spark, sf_dir, "orders"), oracle.PROFILE_ORDERS_COLS)
+
+
 def q_session_stats(spark, sf_dir):
     from xoverrr_spark.operators.counts import session_stats
 
@@ -429,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counts_crossfill_events": q_counts_crossfill,
         "count_mismatch_days": q_count_mismatch,
         "session_stats_events": q_session_stats,
+        "profile_orders": q_profile_orders,
         "json_extract_events": q_json_extract,
         "rollup_events": q_rollup_events,
         "sniff_histogram_orders": q_sniff_histogram,
@@ -475,6 +482,7 @@ def oracle_sql() -> dict[str, str]:
         "counts_crossfill_events": oracle.counts_crossfill_events(),
         "count_mismatch_days": oracle.count_mismatch_days(),
         "session_stats_events": oracle.session_stats_events(),
+        "profile_orders": oracle.profile_orders(),
         "json_extract_events": oracle.json_extract_events(),
         "rollup_events": oracle.rollup_events(),
         "sniff_histogram_orders": oracle.sniff_histogram_orders(),

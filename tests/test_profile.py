@@ -1,0 +1,36 @@
+"""Table-profiling operator: per-column row/null/distinct counts."""
+
+import pytest
+
+from xoverrr_spark.operators.profile import approx_profile, profile
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [(1, "a", None), (2, "a", 5.0), (3, None, 5.0), (4, "b", 7.0)]
+    return spark.createDataFrame(rows, "id int, s string, v double")
+
+
+def test_profile_exact(frame):
+    got = {r["column_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+           for r in profile(frame).collect()}
+    assert got == {
+        "id": (4, 0, 4),
+        "s": (4, 1, 2),    # countDistinct ignores NULLs
+        "v": (4, 1, 2),
+    }
+
+
+def test_profile_single_job_plan(frame):
+    plan = profile(frame)._jdf.queryExecution().executedPlan().toString()
+    # one scan feeding one aggregation chain (Expand handles the distincts)
+    assert plan.count("Scan ExistingRDD") <= 1
+    assert "Expand" in plan
+
+
+def test_approx_profile_close_to_exact(spark):
+    df = spark.range(5000).selectExpr("id", "CAST(id % 321 AS STRING) AS s")
+    exact = {r["column_name"]: r["n_distinct"] for r in profile(df).collect()}
+    approx = {r["column_name"]: r["n_distinct"] for r in approx_profile(df).collect()}
+    for c in exact:
+        assert abs(approx[c] - exact[c]) / exact[c] < 0.15, (c, exact[c], approx[c])

@@ -1,0 +1,71 @@
+"""Table profiling — per-column row/null/distinct counts in ONE pass.
+
+The data-quality primitive behind "does this table look right": the
+reference surfaces per-column issue counters on comparisons
+(``/root/reference/src/xoverrr/utils.py:524-548``); profiling generalizes
+that to a standalone table scan, the usual first step before wiring a
+check.
+
+Scale shape: every counter rides a single ``agg`` — one job, one scan.
+``countDistinct`` over many columns expands via Spark's Expand operator
+(rows x columns intermediate), which is exact and fine for tens of
+columns; for hundreds of columns or approximate-is-ok use
+``approx_profile`` (HyperLogLog, no Expand). Counts are integers, so the
+exact form replays value-for-value in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """(column_name, n_rows, n_nulls, n_distinct) per column — exact."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__distinct"))
+    row = df.agg(*aggs)
+    melted = row.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.col("__n").alias("n_rows"),
+                    F.col(f"{c}__nulls").alias("n_nulls"),
+                    F.col(f"{c}__distinct").alias("n_distinct"),
+                )
+                for c in cols
+            ])
+        ).alias("p")
+    ).select("p.*")
+    return melted
+
+
+def approx_profile(df: DataFrame, columns: list[str] | None = None,
+                   rsd: float = 0.05) -> DataFrame:
+    """Same shape with HyperLogLog distinct counts — the wide-table scale
+    path (no Expand; one pass regardless of column count). Distincts are
+    approximate (relative error ``rsd``), so this form is test-verified
+    against the exact profile rather than oracle-hashed."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"))
+        aggs.append(F.approx_count_distinct(F.col(c), rsd).alias(f"{c}__distinct"))
+    row = df.agg(*aggs)
+    return row.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.col("__n").alias("n_rows"),
+                    F.col(f"{c}__nulls").alias("n_nulls"),
+                    F.col(f"{c}__distinct").alias("n_distinct"),
+                )
+                for c in cols
+            ])
+        ).alias("p")
+    ).select("p.*")

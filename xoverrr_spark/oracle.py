@@ -618,6 +618,23 @@ SELECT doc_a, doc_b, hamming FROM cands WHERE hamming <= {max_hamming}
 """
 
 
+PROFILE_ORDERS_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+
+
+def profile_orders() -> str:
+    """Twin of operators.profile.profile over the orders table."""
+    parts = [
+        f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+        f"COUNT(*) - COUNT({c}) AS n_nulls, "
+        f"COUNT(DISTINCT {c}) AS n_distinct FROM orders"
+        for c in PROFILE_ORDERS_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 SESSION_GAP_S = 1800
 
 
