@@ -300,6 +300,12 @@ def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_count_anomalies(spark, sf_dir):
+    from xoverrr_spark.operators.counts import count_anomalies, daily_counts
+
+    return count_anomalies(daily_counts(_t(spark, sf_dir, "events"), "ts"))
+
+
 def q_profile_orders(spark, sf_dir):
     from xoverrr_spark.operators.profile import profile
 
@@ -435,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counts_crossfill_events": q_counts_crossfill,
         "count_mismatch_days": q_count_mismatch,
         "session_stats_events": q_session_stats,
+        "count_anomalies_events": q_count_anomalies,
         "profile_orders": q_profile_orders,
         "json_extract_events": q_json_extract,
         "rollup_events": q_rollup_events,
@@ -482,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
         "counts_crossfill_events": oracle.counts_crossfill_events(),
         "count_mismatch_days": oracle.count_mismatch_days(),
         "session_stats_events": oracle.session_stats_events(),
+        "count_anomalies_events": oracle.count_anomalies_events(),
         "profile_orders": oracle.profile_orders(),
         "json_extract_events": oracle.json_extract_events(),
         "rollup_events": oracle.rollup_events(),

@@ -117,3 +117,19 @@ def test_sessionize_gap_semantics(spark):
     stats = {(r["user_id"], r["session_seq"]): r["n_events"]
              for r in session_stats(df).collect()}
     assert stats == {(1, 1): 2, (1, 2): 1, (2, 1): 2}
+
+
+def test_count_anomalies_integer_thresholds(spark):
+    from xoverrr_spark.operators.counts import count_anomalies
+
+    rows = [("2024-01-0%d" % d, c) for d, c in
+            [(1, 100), (2, 100), (3, 100), (4, 100), (5, 300), (6, 100), (7, 40)]]
+    daily = spark.createDataFrame(rows, "dt_s string, cnt long") \
+        .selectExpr("CAST(dt_s AS DATE) AS dt", "cnt")
+    got = {str(r["dt"]): r["is_anomaly"] for r in count_anomalies(daily).collect()}
+    # first 3 days lack min_days history
+    assert got["2024-01-01"] is False and got["2024-01-02"] is False
+    assert got["2024-01-04"] is False          # 100 vs avg 100
+    assert got["2024-01-05"] is True           # 300 > 2 * 100
+    assert got["2024-01-06"] is False          # 100 within [70, 280]
+    assert got["2024-01-07"] is True           # 40 * 2 < avg ~133

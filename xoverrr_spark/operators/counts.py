@@ -135,3 +135,31 @@ def session_stats(
         F.min("_tsec").alias("session_start"),
         F.max("_tsec").alias("session_end"),
     )
+
+
+def count_anomalies(
+    daily: DataFrame, window_days: int = 7, factor: int = 2, min_days: int = 3,
+) -> DataFrame:
+    """Daily-count anomaly flags: a day is anomalous when its count is more
+    than ``factor``x above — or below 1/``factor`` of — the trailing
+    ``window_days`` average (needs >= ``min_days`` of history).
+
+    The comparison is pure INTEGER math (cnt * n vs factor * trailing_sum),
+    so the DuckDB oracle replays it exactly — no float aggregation drift.
+    Scale note: the trailing window is a GLOBAL sort over the daily-count
+    frame, which is tiny by construction (one row per day); the heavy
+    per-row work happened in the upstream groupBy.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("dt").rowsBetween(-window_days, -1)
+    t = daily.select(
+        "dt", "cnt",
+        F.sum("cnt").over(w).alias("tsum"),
+        F.count("cnt").over(w).alias("tn"),
+    )
+    is_anom = (F.col("tn") >= min_days) & (
+        (F.col("cnt") * F.col("tn") > factor * F.col("tsum"))
+        | (F.col("cnt") * F.col("tn") * factor < F.col("tsum"))
+    )
+    return t.withColumn("is_anomaly", is_anom)

@@ -618,6 +618,24 @@ SELECT doc_a, doc_b, hamming FROM cands WHERE hamming <= {max_hamming}
 """
 
 
+def count_anomalies_events(window_days: int = 7, factor: int = 2,
+                           min_days: int = 3) -> str:
+    """Twin of counts.count_anomalies over the events daily counts —
+    integer-only trailing-window comparison, exact across engines."""
+    return f"""
+WITH d AS ({daily_counts_events().strip()}),
+t AS (
+  SELECT dt, cnt,
+         SUM(cnt) OVER (ORDER BY dt ROWS BETWEEN {window_days} PRECEDING AND 1 PRECEDING) AS tsum,
+         COUNT(cnt) OVER (ORDER BY dt ROWS BETWEEN {window_days} PRECEDING AND 1 PRECEDING) AS tn
+  FROM d
+)
+SELECT dt, cnt, tsum, tn,
+       (tn >= {min_days} AND (cnt * tn > {factor} * tsum OR cnt * tn * {factor} < tsum)) AS is_anomaly
+FROM t
+"""
+
+
 PROFILE_ORDERS_COLS = [
     "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
     "o_orderdate", "o_orderpriority",
