@@ -176,12 +176,18 @@ def run_operator_queries(spark) -> dict[str, float]:
         "simhash_documents", "ann_topk_embeddings",
         "curate_documents", "session_stats_events",
     ]
+    from xoverrr_spark.operators.dedup import release_intermediates
+
     qs = entrymod.queries()
     out = {}
     for name in names:
         t0 = time.time()
-        _noop_write(qs[name](spark, SF_DIR))
+        df = qs[name](spark, SF_DIR)
+        _noop_write(df)
         out[name] = round(time.time() - t0, 3)
+        # free any persisted dedup/LSH intermediates so earlier queries'
+        # cache blocks don't pressure later timings (one long session)
+        release_intermediates(df)
     return out
 
 
