@@ -454,6 +454,71 @@ def q_drop_reason_counts(spark, sf_dir):
     )
 
 
+def q_asof_events(spark, sf_dir):
+    """Point-in-time lookup: each query event (id % 5 == 0) picks up the
+    most recent other event (id % 5 != 0) of the same user at or before
+    its timestamp — tagged-union + window, ONE shuffle, zero joins."""
+    from xoverrr_spark.operators.timeseries import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "tsec", F.col("ts").cast("timestamp").cast("long")
+    )
+    left = ev.filter(F.col("event_id") % 5 == 0).select("event_id", "user_id", "tsec")
+    right = ev.filter(F.col("event_id") % 5 != 0).select("user_id", "tsec", "value")
+    return asof_join(left, right, ["user_id"], "tsec", "tsec", ["value"])
+
+
+def q_quantiles_events(spark, sf_dir):
+    from xoverrr_spark.operators.profile import quantiles
+
+    q = quantiles(
+        _t(spark, sf_dir, "events"), "value", oracle.QUANTILE_PROBS, ["event_type"]
+    )
+    # DECIMAL(18,6) round-trip: a 1-ulp interpolation-order difference
+    # between engines cannot break the value hash
+    return q.select(
+        "event_type",
+        *[
+            F.col(f"q_{int(round(p * 100))}")
+            .cast("decimal(18,6)").cast("double")
+            .alias(f"q_{int(round(p * 100))}")
+            for p in oracle.QUANTILE_PROBS
+        ],
+    )
+
+
+def q_pivot_events_by_day(spark, sf_dir):
+    """Daily event-type count matrix via groupBy().pivot() with an explicit
+    value list (deterministic columns; no extra distinct-scan job)."""
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.select(F.to_date("ts").alias("dt"), "event_type")
+        .groupBy("dt")
+        .pivot("event_type", oracle.EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # absent (dt, type) combos are null after pivot; the oracle's
+    # conditional COUNT yields 0 — align
+    return p.select(
+        "dt", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in oracle.EVENT_TYPES]
+    )
+
+
+def q_exact_dedup_survivors(spark, sf_dir):
+    from xoverrr_spark.operators.dedup import exact_dedup_window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return exact_dedup_window(d, "doc_id", "text").select("doc_id", "source")
+
+
+def q_embedding_bucket_stats(spark, sf_dir):
+    from xoverrr_spark.operators.dedup import DEFAULT_MAX_BUCKET, bucket_size_stats
+    from xoverrr_spark.operators.similarity import embedding_band_buckets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return bucket_size_stats(embedding_band_buckets(emb), DEFAULT_MAX_BUCKET)
+
+
 # -------------------------------------------------------------- contract ----
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -511,6 +576,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_documents": q_quality_filter_docs,
         "drop_reason_counts_documents": q_drop_reason_counts,
         "drop_reason_examples_documents": q_drop_reason_examples,
+        "asof_events": q_asof_events,
+        "quantiles_events": q_quantiles_events,
+        "pivot_events_by_day": q_pivot_events_by_day,
+        "exact_dedup_survivors_documents": q_exact_dedup_survivors,
+        "embedding_bucket_stats": q_embedding_bucket_stats,
     }
 
 
@@ -561,4 +631,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter_documents": oracle.quality_filter_documents(),
         "drop_reason_counts_documents": oracle.drop_reason_counts_documents(),
         "drop_reason_examples_documents": oracle.drop_reason_examples_documents(),
+        "asof_events": oracle.asof_events(),
+        "quantiles_events": oracle.quantiles_events(),
+        "pivot_events_by_day": oracle.pivot_events_by_day(),
+        "exact_dedup_survivors_documents": oracle.exact_dedup_survivors_documents(),
+        "embedding_bucket_stats": oracle.embedding_bucket_stats(),
     }

@@ -466,3 +466,43 @@ def test_ivf_sample_unbiased_on_id_ordered_corpus(spark):
     ctr = train_ivf_centroids(emb, n_centroids=2, sample_size=100, iters=6, seed=2)
     assert (ctr @ a).max() > 0.9, ctr @ a    # a centroid near +a
     assert (ctr @ -a).max() > 0.9, ctr @ -a  # and one near -a
+
+
+def test_exact_dedup_window_matches_semi_join_form(spark):
+    from xoverrr_spark.operators.dedup import exact_dedup, exact_dedup_window
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(r["doc_id"] for r in exact_dedup(docs, "doc_id", "text").collect())
+    b = sorted(r["doc_id"] for r in exact_dedup_window(docs, "doc_id", "text").collect())
+    assert a == b
+    # the window form's selling point: the input is scanned ONCE
+    plan_w = exact_dedup_window(docs, "doc_id", "text") \
+        ._jdf.queryExecution().executedPlan().toString()
+    plan_s = exact_dedup(docs, "doc_id", "text") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan_w.count("Scan parquet") == 1, plan_w
+    assert plan_s.count("Scan parquet") == 2, plan_s
+
+
+def test_quantiles_type7_interpolation(spark):
+    from xoverrr_spark.operators.profile import quantiles
+
+    df = spark.createDataFrame([(float(v),) for v in (1, 2, 3, 4, 5)], "value double")
+    row = quantiles(df, "value", [0.25, 0.5, 0.9]).collect()[0]
+    assert row["q_25"] == 2.0
+    assert row["q_50"] == 3.0
+    assert abs(row["q_90"] - 4.6) < 1e-12  # (n-1)*p = 3.6 -> 4 + 0.6*(5-4)
+
+
+def test_embedding_bucket_stats_counts_all_vectors(spark):
+    from xoverrr_spark.operators.dedup import bucket_size_stats
+    from xoverrr_spark.operators.similarity import embedding_band_buckets
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    buckets = embedding_band_buckets(emb)
+    stats = bucket_size_stats(buckets, 200).collect()
+    assert len(stats) == 4  # one row per band
+    # every vector lands in exactly one bucket per band
+    per_band = buckets.groupBy("band").count().collect()
+    assert all(r["count"] == n for r in per_band)

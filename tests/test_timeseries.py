@@ -1,0 +1,56 @@
+"""As-of join semantics + plan shape (tagged-union + window, zero joins)."""
+
+from xoverrr_spark.operators.timeseries import asof_join
+
+
+def _mk(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 205), (3, "u2", 50), (4, "u3", 10)],
+        "id int, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, 1.0), ("u1", 200, 2.0), ("u1", 300, 3.0), ("u2", 60, 9.0)],
+        "k string, t long, v double",
+    )
+    return left, right
+
+
+def test_asof_join_semantics(spark):
+    left, right = _mk(spark)
+    out = {
+        r["id"]: (r["ref_t"], r["ref_v"])
+        for r in asof_join(left, right, ["k"], "t", "t", ["v"]).collect()
+    }
+    assert out[1] == (100, 1.0)      # tie: inclusive (right.ts == left.ts)
+    assert out[2] == (200, 2.0)      # most recent at-or-before, not later
+    assert out[3] == (None, None)    # right rows exist but all later
+    assert out[4] == (None, None)    # key absent on right (left-outer)
+
+
+def test_asof_join_dedupes_equal_timestamps_deterministically(spark):
+    left = spark.createDataFrame([(1, "u1", 100)], "id int, k string, t long")
+    right = spark.createDataFrame(
+        [("u1", 90, 5.0), ("u1", 90, 7.0)], "k string, t long, v double"
+    )
+    rows = asof_join(left, right, ["k"], "t", "t", ["v"]).collect()
+    assert rows[0]["ref_v"] == 7.0   # max value struct wins, not row order
+
+
+def test_asof_join_plan_single_shuffle_no_join(spark):
+    left, right = _mk(spark)
+    plan = (
+        asof_join(left, right, ["k"], "t", "t", ["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the whole point of the tagged-union formulation: a range join would
+    # be a BroadcastNestedLoop/theta join; this is one exchange + window
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_asof_join_keeps_all_left_columns(spark):
+    left, right = _mk(spark)
+    got = asof_join(left, right, ["k"], "t", "t", ["v"])
+    assert got.columns == ["id", "k", "t", "ref_t", "ref_v"]
+    assert got.count() == left.count()

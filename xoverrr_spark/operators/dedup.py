@@ -62,10 +62,36 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Survivors: the min-id row of every exact-duplicate group."""
+    """Survivors: the min-id row of every exact-duplicate group.
+
+    Semi-join form: the input is scanned (and fingerprinted) TWICE — once
+    for the groupBy, once for the probe side — but the groupBy partially
+    aggregates map-side, so a boilerplate flood (10^7 copies of one page)
+    never concentrates on one task. Prefer ``exact_dedup_window`` when the
+    scan itself dominates (wide rows / remote storage) and duplicate
+    groups are known to be modest."""
     fp = df.withColumn("text_fp", fingerprint(F.col(text_col)))
     keep = fp.groupBy("text_fp").agg(F.min(id_col).alias(id_col))
     return fp.join(keep, [id_col, "text_fp"], "left_semi").drop("text_fp")
+
+
+def exact_dedup_window(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Same survivors via ONE scan + one window (row_number over the
+    fingerprint partition): the input is read and fingerprinted once and
+    the full rows ride a single exchange. Trade-off vs ``exact_dedup``:
+    a window partition cannot be split, so a degenerate duplicate flood
+    serializes on one task — pick this form when rows are wide/remote and
+    dup groups are bounded, the semi-join form for flood-prone corpora
+    (mirrors the cap_per_source / cap_per_source_hash pairing)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("text_fp").orderBy(id_col)
+    return (
+        df.withColumn("text_fp", fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "text_fp")
+    )
 
 
 def md5_long40(c):

@@ -44,6 +44,28 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     return melted
 
 
+def quantiles(
+    df: DataFrame, value_col: str, probs: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact quantiles of ``value_col`` (optionally per group):
+    (group..., q_<pct> for each prob). Linear-interpolated (type-7, the
+    same rule DuckDB's quantile_cont uses, so the oracle replays it).
+
+    Scale shape: Spark's exact ``percentile`` aggregate buffers each
+    group's values on one reducer — fine for the daily/per-type group
+    sizes this targets. For billion-row single groups switch to
+    ``percentile_approx`` (t-digest, mergeable map-side), the same
+    exact/approx pairing as profile vs approx_profile."""
+    aggs = [
+        F.percentile(F.col(value_col), F.lit(p)).alias(f"q_{int(round(p * 100))}")
+        for p in probs
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
 def approx_profile(df: DataFrame, columns: list[str] | None = None,
                    rsd: float = 0.05) -> DataFrame:
     """Same shape with HyperLogLog distinct counts — the wide-table scale

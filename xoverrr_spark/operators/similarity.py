@@ -252,6 +252,22 @@ def band_buckets(vec: Column, planes: np.ndarray, bands: int) -> list[Column]:
     return out
 
 
+def embedding_band_buckets(
+    corpus: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    bands: int = NEAR_DUP_BANDS, planes_per_band: int = NEAR_DUP_PLANES_PER_BAND,
+    dim: int = 64, seed: int = NEAR_DUP_PLANE_SEED,
+) -> DataFrame:
+    """(vid, band, bkey) hyperplane-LSH bucket table — the candidate-
+    generation input of ``embedding_near_dups``, exposed so
+    ``dedup.bucket_size_stats`` can audit the cap on this modality too."""
+    planes = hyperplanes(dim, bands * planes_per_band, seed)
+    v = corpus.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("ve"))
+    return v.select(
+        "vid", F.explode(F.array(*band_buckets(F.col("ve"), planes, bands))).alias("bb")
+    ).select("vid", "bb.band", "bb.bkey")
+
+
 def embedding_near_dups(
     corpus: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -284,11 +300,10 @@ def embedding_near_dups(
     """
     from .dedup import _attach_intermediates, _cap_buckets
 
-    planes = hyperplanes(dim, bands * planes_per_band, seed)
     v = corpus.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("ve"))
-    buckets = v.select(
-        "vid", F.explode(F.array(*band_buckets(F.col("ve"), planes, bands))).alias("bb")
-    ).select("vid", "bb.band", "bb.bkey")
+    buckets = embedding_band_buckets(
+        corpus, id_col, vec_col, bands, planes_per_band, dim, seed
+    )
     buckets = _cap_buckets(buckets, max_bucket_size).persist()
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (

@@ -1,0 +1,80 @@
+"""Time-series operators — as-of join (point-in-time lookup).
+
+Beyond the reference's own surface (round brief: custom operators Spark
+lacks, e.g. as-of joins). Spark has no ASOF JOIN operator; the standard
+scale shape used here is the TAGGED UNION + WINDOW formulation:
+
+    union(left tagged 1, right tagged 0)
+      -> one window per key ordered by (ts, tag)
+      -> last(right payload, ignorenulls) carries the most recent right
+         row forward onto every left row
+      -> filter tag = 1
+
+That is ONE shuffle on the key (the union's window partitioning) and zero
+join operators — a range-condition join (`l.ts >= r.ts` + per-key top-1)
+would otherwise degenerate into a broadcast-nested-loop or an exploding
+theta-join. Cost is O(|L| + |R|) rows through one exchange, the same shape
+as the single-shuffle diff engine (operators/diff.py).
+
+Ordering (_ts, _tag) with right = 0 makes the match INCLUSIVE
+(right.ts == left.ts matches), the same tie rule as DuckDB's
+`ASOF JOIN ... ON l.ts >= r.ts`, which the oracle twin replays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    prefix: str = "ref_",
+) -> DataFrame:
+    """For every left row, attach the most recent right row of the same
+    key with ``right.ts <= left.ts`` (inclusive): point-in-time lookup.
+
+    Output = all left columns + ``<prefix><right_ts>`` (the matched
+    timestamp) + ``<prefix><col>`` for each of ``right_vals``; unmatched
+    left rows keep nulls (left-outer semantics).
+
+    Duplicate (key, ts) right rows resolve to the lexicographically
+    LARGEST value struct — not physical row order, which wouldn't be
+    reproducible across runs/partitionings. The tiebreak rides the SAME
+    window sort (``_rv`` is the last sort key, so among equal timestamps
+    the max struct is the one ``last()`` carries) rather than a
+    pre-aggregation, which would cost a second exchange on (keys, ts).
+    """
+    rv = F.struct(F.col(right_ts).alias("_rts"), *[F.col(c) for c in right_vals])
+    r = right.select(*keys, F.col(right_ts).alias("_ts"), rv.alias("_rv")).withColumn(
+        "_tag", F.lit(0)
+    )
+    l = (
+        left.withColumn("_ts", F.col(left_ts))
+        .withColumn("_tag", F.lit(1))
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    # left rows carry a null _rv: asc-nulls-first keeps them ordered purely
+    # by (_ts, _tag); right dups at one ts sort ascending by struct, so the
+    # frame's last non-null _rv is the max struct
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_tag", F.col("_rv").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # the carry column MUST be materialized before the tag filter — a
+    # window expression referenced after the filter would be evaluated
+    # over the filtered (left-only) rows and never see the right side
+    carried = u.withColumn("_m", F.last("_rv", ignorenulls=True).over(w)).filter(
+        F.col("_tag") == 1
+    )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col("_m._rts").alias(f"{prefix}{right_ts}"))
+    out_cols += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_vals]
+    return carried.select(*out_cols)

@@ -991,3 +991,114 @@ r AS (
 )
 SELECT reason, COUNT(*) AS issue_count FROM r GROUP BY 1
 """
+
+
+# ------------------------------------------------- round-3 additions ----
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+QUANTILE_PROBS = [0.25, 0.5, 0.9]
+
+
+def asof_events() -> str:
+    """Twin of timeseries.asof_join over events: query events (id % 5 == 0)
+    pick up the most recent other event (id % 5 != 0) of the same user at
+    or before their timestamp. DuckDB's native ASOF LEFT JOIN replays the
+    tagged-union + last(ignorenulls) window formulation exactly (inclusive
+    >= tie rule; right side pre-deduped per (user, tsec) by max value, the
+    same pick as Spark's lexicographic max struct)."""
+    return """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value
+  FROM events
+),
+l AS (SELECT event_id, user_id, tsec FROM ev WHERE event_id % 5 = 0),
+r0 AS (SELECT user_id, tsec, value FROM ev WHERE event_id % 5 <> 0),
+r AS (SELECT user_id, tsec, MAX(value) AS value FROM r0 GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, l.tsec,
+       r.tsec AS ref_tsec, r.value AS ref_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsec >= r.tsec
+"""
+
+
+def quantiles_events() -> str:
+    """Twin of profile.quantiles per event_type: exact linear-interpolated
+    (type-7) quantiles — quantile_cont uses the same interpolation rule as
+    Spark's percentile; outputs round-trip through DECIMAL(18,6) so a
+    1-ulp interpolation-order difference cannot break the value hash."""
+    qs = ",\n       ".join(
+        f"CAST(CAST(quantile_cont(value, {p}) AS DECIMAL(18,6)) AS DOUBLE)"
+        f" AS q_{int(round(p * 100))}"
+        for p in QUANTILE_PROBS
+    )
+    return f"""
+SELECT event_type,
+       {qs}
+FROM events GROUP BY event_type
+"""
+
+
+def pivot_events_by_day() -> str:
+    """Twin of the groupBy().pivot() daily event-type matrix — replayed as
+    conditional aggregation (the semantics pivot desugars to)."""
+    cols = ",\n       ".join(
+        f'COUNT(CASE WHEN event_type = \'{t}\' THEN 1 END) AS "{t}"'
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT CAST(ts AS DATE) AS dt,
+       {cols}
+FROM events GROUP BY 1
+"""
+
+
+def exact_dedup_survivors_documents() -> str:
+    """Twin of dedup.exact_dedup_window (single-scan window form): the
+    min-id survivor of every exact-duplicate text group."""
+    return """
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM fp
+) WHERE rn = 1
+"""
+
+
+def embedding_bucket_stats() -> str:
+    """Twin of bucket_size_stats over the embedding hyperplane-LSH bucket
+    table — the same "no silent caps" audit as lsh_bucket_stats_documents
+    for the embedding modality."""
+    from .operators.similarity import (
+        NEAR_DUP_BANDS,
+        NEAR_DUP_PLANE_SEED,
+        NEAR_DUP_PLANES_PER_BAND,
+        hyperplanes,
+    )
+
+    planes = hyperplanes(_EMB_DIM, NEAR_DUP_BANDS * NEAR_DUP_PLANES_PER_BAND,
+                         NEAR_DUP_PLANE_SEED)
+    band_selects = []
+    for b in range(NEAR_DUP_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN {_fold_dot_lit('ve', planes[b * NEAR_DUP_PLANES_PER_BAND + i])} > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(NEAR_DUP_PLANES_PER_BAND)
+        )
+        band_selects.append(f"SELECT vec_id, {b} AS band, {bits} AS bkey FROM v")
+    buckets = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+buckets0 AS (
+  {buckets}
+),
+per_bucket AS (SELECT band, bkey, COUNT(*) AS n FROM buckets0 GROUP BY band, bkey)
+SELECT band,
+       COUNT(*) AS n_buckets,
+       MAX(n) AS max_bucket_size,
+       COUNT(CASE WHEN n > {DEFAULT_MAX_BUCKET} THEN 1 END) AS over_cap_buckets,
+       CAST(COALESCE(SUM(CASE WHEN n > {DEFAULT_MAX_BUCKET} THEN n END), 0) AS BIGINT) AS over_cap_docs
+FROM per_bucket GROUP BY band
+"""
