@@ -322,13 +322,16 @@ def q_curate_documents(spark, sf_dir):
     """The flagship curation COMPOSITION, one lazy plan end-to-end:
     exact-dedup survivors -> quality-filter keep -> drop docs sharing
     n-grams with the benchmark subset -> per-source cap. Each stage is an
-    already-oracle-verified operator; this query pins that they compose."""
+    already-oracle-verified operator; this query pins that they compose.
+    Dedup uses the single-scan window form: the composition reads and
+    fingerprints the corpus once instead of twice (the semi-join form is
+    for flood-prone corpora; see exact_dedup docstrings)."""
     from xoverrr_spark.operators.corpus import cap_per_source
-    from xoverrr_spark.operators.dedup import contaminated_docs, exact_dedup
+    from xoverrr_spark.operators.dedup import contaminated_docs, exact_dedup_window
     from xoverrr_spark.pipeline.quality_filter import annotate
 
     d = _t(spark, sf_dir, "documents")
-    survivors = exact_dedup(d, "doc_id", "text")
+    survivors = exact_dedup_window(d, "doc_id", "text")
     # annotate keeps every input column, so the keep decision is a FILTER on
     # the survivor frame (no self-semi-join that would recompute the dedup)
     s2 = (
@@ -345,11 +348,11 @@ def q_curate_documents_hash(spark, sf_dir):
     stage — the hot-domain scale path (a 10^8-doc domain stays fully
     parallel instead of serializing in one window partition)."""
     from xoverrr_spark.operators.corpus import cap_per_source_hash
-    from xoverrr_spark.operators.dedup import contaminated_docs, exact_dedup
+    from xoverrr_spark.operators.dedup import contaminated_docs, exact_dedup_window
     from xoverrr_spark.pipeline.quality_filter import annotate
 
     d = _t(spark, sf_dir, "documents")
-    survivors = exact_dedup(d, "doc_id", "text")
+    survivors = exact_dedup_window(d, "doc_id", "text")
     s2 = (
         annotate(survivors, caption_col="text", with_ppl=False)
         .filter("keep").select("doc_id", "source")

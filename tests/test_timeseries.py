@@ -54,3 +54,40 @@ def test_asof_join_keeps_all_left_columns(spark):
     got = asof_join(left, right, ["k"], "t", "t", ["v"])
     assert got.columns == ["id", "k", "t", "ref_t", "ref_v"]
     assert got.count() == left.count()
+
+
+def test_asof_join_matches_pandas_merge_asof_property(spark):
+    # independent twin: pandas merge_asof(direction='backward',
+    # allow_exact_matches=True) implements the identical semantics
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(17)
+    n_l, n_r = 300, 500
+    lpdf = pd.DataFrame({
+        "id": np.arange(n_l),
+        "k": rng.integers(0, 12, n_l).astype(str),
+        "t": rng.integers(0, 1000, n_l).astype(np.int64),
+    })
+    rpdf = pd.DataFrame({
+        "k": rng.integers(0, 12, n_r).astype(str),
+        "t": rng.integers(0, 1000, n_r).astype(np.int64),
+        "v": np.round(rng.random(n_r), 6),
+    })
+    # pandas needs unique right (k, t) for a deterministic pick — apply the
+    # SAME max-value dedupe rule the operator guarantees
+    rded = rpdf.groupby(["k", "t"], as_index=False)["v"].max()
+    expected = pd.merge_asof(
+        lpdf.sort_values("t"), rded.sort_values("t"),
+        on="t", by="k", direction="backward", allow_exact_matches=True,
+    ).sort_values("id")
+
+    got = (
+        asof_join(
+            spark.createDataFrame(lpdf, "id long, k string, t long"),
+            spark.createDataFrame(rpdf, "k string, t long, v double"),
+            ["k"], "t", "t", ["v"],
+        )
+        .toPandas().sort_values("id")
+    )
+    assert list(got["ref_v"].fillna(-1)) == list(expected["v"].fillna(-1))
