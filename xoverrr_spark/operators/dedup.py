@@ -109,6 +109,20 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     ).select("doc_id", md5_long40(F.col("shingle")).alias("shingle_hash"))
 
 
+def minhash_signature_from_shingles(
+    shingles: DataFrame, num_hashes: int = 16, seed: int = 1234567,
+) -> DataFrame:
+    """Signatures from a prebuilt (doc_id, shingle_hash) table — lets a
+    pipeline that needs the shingles AGAIN downstream (candidate_jaccard)
+    build and persist them once instead of re-running the explode+md5
+    map stage, the most expensive scan-side work at corpus scale."""
+    aggs = [
+        F.min((F.lit(a) * F.col("shingle_hash") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes, seed))
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 16, shingle_n: int = 3, seed: int = 1234567,
@@ -118,12 +132,9 @@ def minhash_signature(
     One explode + one groupBy; the k mins ride a single aggregate (partial
     map-side combine keeps shuffle bytes at k longs per doc per mapper).
     """
-    sh = shingle_table(df, id_col, text_col, shingle_n)
-    aggs = [
-        F.min((F.lit(a) * F.col("shingle_hash") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(minhash_params(num_hashes, seed))
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return minhash_signature_from_shingles(
+        shingle_table(df, id_col, text_col, shingle_n), num_hashes, seed
+    )
 
 
 # Buckets larger than this self-join quadratically for no recall benefit —
@@ -264,7 +275,7 @@ def lsh_candidate_pairs(
 
 def candidate_jaccard(
     df: DataFrame, id_col: str, text_col: str, candidates: DataFrame,
-    shingle_n: int = 3,
+    shingle_n: int = 3, shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle Jaccard computed ONLY for (doc_a, doc_b) in
     ``candidates`` — O(|candidates|), never a shingle self-join.
@@ -274,15 +285,17 @@ def candidate_jaccard(
     candidate pair joins to its two arrays and |A∩B| is a JVM-side
     ``array_intersect``. This is the verify stage LSH exists to enable:
     the full-corpus co-occurrence join (``ngram_jaccard``) is never built.
+    Pass a prebuilt (persisted) ``shingles`` table to skip re-running the
+    explode+md5 map stage when the caller already built one.
     """
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, shingle_n)
     sets = (
-        shingle_table(df, id_col, text_col, shingle_n)
-        .join(cand_ids, "doc_id", "left_semi")
+        sh.join(cand_ids, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle_hash").alias("shset"))
     )
@@ -313,22 +326,25 @@ def minhash_near_dups(
     """LSH candidates verified with exact candidate-restricted Jaccard
     -> (doc_a, doc_b, jaccard >= threshold).
 
-    The candidate pair set is persisted so its two consumers (the id
-    semi-join and the final pair join) share one LSH bucket join; the
-    cache entry is LRU-evicted by Spark when memory is needed (the result
-    is lazy, so an eager unpersist here would silently re-run the bucket
-    join twice). After materializing the result, call
-    ``release_intermediates(result)`` to free the candidate + bucket
-    caches deterministically (long-lived sessions otherwise accumulate
-    disk-spilled blocks that LRU eviction never reclaims — ADVICE r02).
+    The shingle table is built ONCE and persisted — it feeds both the
+    signature aggregation and the Jaccard verify, and the explode+md5 map
+    stage over the full corpus is the most expensive scan-side work here
+    (rehydrating the cache beats recomputing it). The candidate pair set
+    is persisted so its two consumers (the id semi-join and the final
+    pair join) share one LSH bucket join. Both caches are LRU-evicted
+    under pressure; after materializing the result, call
+    ``release_intermediates(result)`` to free them deterministically
+    (long-lived sessions otherwise accumulate disk-spilled blocks that
+    eviction never reclaims — ADVICE r02).
     """
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    sh = shingle_table(df, id_col, text_col, shingle_n).persist()
+    sig = minhash_signature_from_shingles(sh, num_hashes)
     cands = lsh_candidate_pairs(sig, num_hashes, bands, max_bucket_size)
     inner = list(getattr(cands, "_xoverrr_intermediates", ()))
     cands = cands.persist()
-    j = candidate_jaccard(df, id_col, text_col, cands, shingle_n)
+    j = candidate_jaccard(df, id_col, text_col, cands, shingle_n, shingles=sh)
     out = j.filter(F.col("jaccard") >= jaccard_threshold).select("doc_a", "doc_b", "jaccard")
-    return _attach_intermediates(out, inner + [cands])
+    return _attach_intermediates(out, inner + [sh, cands])
 
 
 def ngram_jaccard(
