@@ -514,6 +514,42 @@ def q_exact_dedup_survivors(spark, sf_dir):
     return exact_dedup_window(d, "doc_id", "text").select("doc_id", "source")
 
 
+def q_cube_events(spark, sf_dir):
+    """All four grouping sets of (event_type, day) — cube complements the
+    rollup query's hierarchy (same 'ALL' sentinel convention)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.to_date("ts").alias("dt"), "value")
+        .cube("event_type", "dt")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dt").cast("string"), F.lit("ALL")).alias("dt"),
+            "total_value", "n",
+        )
+    )
+
+
+def q_candidate_edit_distance(spark, sf_dir):
+    """Edit-distance verify on LSH candidate pairs — a second exact
+    near-dup confirmation modality (Levenshtein <= k), O(candidates)."""
+    from xoverrr_spark.operators.dedup import lsh_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(d, "doc_id", "text")
+    cands = lsh_candidate_pairs(sig)
+    texts = d.select("doc_id", "text")
+    return (
+        cands.join(texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta")), "doc_a")
+        .join(texts.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb")), "doc_b")
+        .select("doc_a", "doc_b", F.levenshtein("_ta", "_tb").alias("edit_distance"))
+        .filter(F.col("edit_distance") <= oracle.EDIT_DISTANCE_MAX)
+    )
+
+
 def q_embedding_bucket_stats(spark, sf_dir):
     from xoverrr_spark.operators.dedup import DEFAULT_MAX_BUCKET, bucket_size_stats
     from xoverrr_spark.operators.similarity import embedding_band_buckets
@@ -584,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events_by_day": q_pivot_events_by_day,
         "exact_dedup_survivors_documents": q_exact_dedup_survivors,
         "embedding_bucket_stats": q_embedding_bucket_stats,
+        "cube_events": q_cube_events,
+        "candidate_edit_distance_documents": q_candidate_edit_distance,
     }
 
 
@@ -639,4 +677,6 @@ def oracle_sql() -> dict[str, str]:
         "pivot_events_by_day": oracle.pivot_events_by_day(),
         "exact_dedup_survivors_documents": oracle.exact_dedup_survivors_documents(),
         "embedding_bucket_stats": oracle.embedding_bucket_stats(),
+        "cube_events": oracle.cube_events(),
+        "candidate_edit_distance_documents": oracle.candidate_edit_distance_documents(),
     }

@@ -1102,3 +1102,38 @@ SELECT band,
        CAST(COALESCE(SUM(CASE WHEN n > {DEFAULT_MAX_BUCKET} THEN n END), 0) AS BIGINT) AS over_cap_docs
 FROM per_bucket GROUP BY band
 """
+
+
+EDIT_DISTANCE_MAX = 10
+
+
+def cube_events() -> str:
+    """Twin of the cube aggregation (all four grouping sets of
+    (event_type, day)); same 'ALL' sentinel convention as rollup_events."""
+    return """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS dt,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY CUBE(event_type, CAST(ts AS DATE))
+"""
+
+
+def candidate_edit_distance_documents(
+    num_hashes: int = 16, bands: int = 4, max_distance: int = EDIT_DISTANCE_MAX
+) -> str:
+    """Twin of the edit-distance verify over LSH candidate pairs: classic
+    near-dup confirmation by Levenshtein distance, computed ONLY on
+    candidates (O(len^2) per pair is fine there; never all-pairs).
+    DuckDB's levenshtein == Spark's levenshtein (unit edit costs)."""
+    return f"""
+WITH cands AS ({lsh_candidates_documents(num_hashes, bands).strip()}),
+p AS (
+  SELECT c.doc_a, c.doc_b, levenshtein(da.text, db.text) AS edit_distance
+  FROM cands c
+  JOIN documents da ON da.doc_id = c.doc_a
+  JOIN documents db ON db.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, edit_distance FROM p WHERE edit_distance <= {max_distance}
+"""
