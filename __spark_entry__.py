@@ -290,10 +290,13 @@ def q_minhash_near_dups(spark, sf_dir):
 
 
 def q_near_dup_clusters(spark, sf_dir):
-    from xoverrr_spark.operators.dedup import cluster_near_dups
+    from xoverrr_spark.operators.dedup import cluster_near_dups, release_intermediates
 
     pairs = simhash_near_dups(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    return cluster_near_dups(pairs)
+    labels = cluster_near_dups(pairs)
+    # labels are checkpointed (materialized) — the pair set's caches can go
+    release_intermediates(pairs)
+    return labels
 
 
 def q_simhash(spark, sf_dir):
@@ -380,10 +383,16 @@ def q_decontaminate(spark, sf_dir):
 
 
 def q_cluster_survivors(spark, sf_dir):
-    from xoverrr_spark.operators.dedup import cluster_near_dups, cluster_survivors
+    from xoverrr_spark.operators.dedup import (
+        cluster_near_dups,
+        cluster_survivors,
+        release_intermediates,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    labels = cluster_near_dups(simhash_near_dups(d, "doc_id", "text"))
+    pairs = simhash_near_dups(d, "doc_id", "text")
+    labels = cluster_near_dups(pairs)
+    release_intermediates(pairs)
     scores = d.select("doc_id", quality_score(F.col("text")).alias("quality_score"))
     return cluster_survivors(labels, scores)
 

@@ -69,8 +69,17 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     aggregates map-side, so a boilerplate flood (10^7 copies of one page)
     never concentrates on one task. Prefer ``exact_dedup_window`` when the
     scan itself dominates (wide rows / remote storage) and duplicate
-    groups are known to be modest."""
-    fp = df.withColumn("text_fp", fingerprint(F.col(text_col)))
+    groups are known to be modest.
+
+    Null texts fingerprint to null; the group key is coalesced to a
+    sentinel so they form ONE dedup group instead of vanishing (a null
+    semi-join key never matches — scraped corpora always contain null
+    payload rows, and silently dropping them all is data loss, not
+    dedup). Same outcome as the window form's null partition."""
+    null_fp = F.lit("\x00<null-text>")
+    fp = df.withColumn(
+        "text_fp", F.coalesce(fingerprint(F.col(text_col)), null_fp)
+    )
     keep = fp.groupBy("text_fp").agg(F.min(id_col).alias(id_col))
     return fp.join(keep, [id_col, "text_fp"], "left_semi").drop("text_fp")
 
