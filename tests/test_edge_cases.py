@@ -115,3 +115,30 @@ def test_profile_empty_table(spark):
     d = spark.createDataFrame([], "a int, b string")
     rows = {r["column_name"]: r for r in profile(d).collect()}
     assert rows["a"]["n_rows"] == 0 and rows["a"]["n_distinct"] == 0
+
+
+def test_counts_joined_null_dates_match_null_safely(spark):
+    # a null-date daily row on each side must reconcile into ONE row, not
+    # a phantom double mismatch (plain equi-join: null keys never match)
+    from xoverrr_spark.operators.counts import check_counts_from_daily, counts_joined
+
+    s = spark.createDataFrame([(None, 5), ("2024-01-01", 3)], "dt string, cnt long")
+    t = spark.createDataFrame([(None, 5), ("2024-01-01", 3)], "dt string, cnt long")
+    rows = {r["dt"]: (r["src_cnt"], r["trg_cnt"]) for r in counts_joined(s, t).collect()}
+    assert rows[None] == (5, 5)
+    assert rows["2024-01-01"] == (3, 3)
+    stats = check_counts_from_daily(s, t)
+    assert stats.diff_sum == 0 and stats.mismatched_days == 0
+    assert stats.final_score == 100
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    from xoverrr_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame([(1, "k", 10)], "id int, k string, t long")
+    right = spark.createDataFrame(
+        [("k", None, 99.0), ("k", 5, 1.0)], "k string, t long, v double"
+    )
+    rows = asof_join(left, right, ["k"], "t", "t", ["v"]).collect()
+    # the null-ts row must never be "the most recent"; the t=5 row is
+    assert rows[0]["ref_t"] == 5 and rows[0]["ref_v"] == 1.0

@@ -27,13 +27,19 @@ def daily_counts(df: DataFrame, date_col: str | Column) -> DataFrame:
 
 
 def counts_joined(src_daily: DataFrame, trg_daily: DataFrame) -> DataFrame:
-    """Full-outer on dt with zero cross-fill (reference J8, utils.py:959-975)."""
+    """Full-outer on dt with zero cross-fill (reference J8, utils.py:959-975).
+
+    The join is NULL-SAFE: rows with a null date (events with null
+    timestamps — always present in real feeds) aggregate into one null-dt
+    daily row per side, and a plain equi-join would never match the two,
+    reporting a phantom mismatch of that day's full count on BOTH sides.
+    """
     s = src_daily.select(F.col("dt"), F.col("cnt").alias("src_cnt"))
-    t = trg_daily.select(F.col("dt"), F.col("cnt").alias("trg_cnt"))
+    t = trg_daily.select(F.col("dt").alias("dt_t"), F.col("cnt").alias("trg_cnt"))
     return (
-        s.join(t, "dt", "full_outer")
+        s.join(t, F.col("dt").eqNullSafe(F.col("dt_t")), "full_outer")
         .select(
-            "dt",
+            F.coalesce("dt", "dt_t").alias("dt"),
             F.coalesce("src_cnt", F.lit(0)).alias("src_cnt"),
             F.coalesce("trg_cnt", F.lit(0)).alias("trg_cnt"),
         )

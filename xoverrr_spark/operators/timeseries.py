@@ -52,8 +52,13 @@ def asof_join(
     pre-aggregation, which would cost a second exchange on (keys, ts).
     """
     rv = F.struct(F.col(right_ts).alias("_rts"), *[F.col(c) for c in right_vals])
-    r = right.select(*keys, F.col(right_ts).alias("_ts"), rv.alias("_rv")).withColumn(
-        "_tag", F.lit(0)
+    # a null right timestamp would sort FIRST (asc nulls first) and be
+    # carried as the "earliest" match for every left row — a row with no
+    # valid time can never be the most recent anything, so drop it
+    r = (
+        right.filter(F.col(right_ts).isNotNull())
+        .select(*keys, F.col(right_ts).alias("_ts"), rv.alias("_rv"))
+        .withColumn("_tag", F.lit(0))
     )
     l = (
         left.withColumn("_ts", F.col(left_ts))

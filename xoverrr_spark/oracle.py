@@ -100,7 +100,7 @@ def counts_crossfill_events() -> str:
 WITH {_EVENTS_SIDES.strip()}
 SELECT COALESCE(s.dt, t.dt) AS dt,
        COALESCE(s.cnt, 0) AS src_cnt, COALESCE(t.cnt, 0) AS trg_cnt
-FROM s FULL OUTER JOIN t ON s.dt = t.dt
+FROM s FULL OUTER JOIN t ON s.dt IS NOT DISTINCT FROM t.dt
 """
 
 
@@ -110,7 +110,7 @@ WITH {_EVENTS_SIDES.strip()},
 j AS (
   SELECT COALESCE(s.dt, t.dt) AS dt,
          COALESCE(s.cnt, 0) AS src_cnt, COALESCE(t.cnt, 0) AS trg_cnt
-  FROM s FULL OUTER JOIN t ON s.dt = t.dt
+  FROM s FULL OUTER JOIN t ON s.dt IS NOT DISTINCT FROM t.dt
 )
 SELECT dt, src_cnt, trg_cnt, src_cnt - trg_cnt AS diff
 FROM j WHERE src_cnt <> trg_cnt
