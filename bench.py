@@ -173,8 +173,9 @@ def run_operator_queries(spark) -> dict[str, float]:
         "top3_suppliers_per_nation", "normalize_lineitem",
         "langid_documents", "quality_filter_documents",
         "minhash_signatures_documents", "lsh_candidates_documents",
-        "simhash_documents", "ann_topk_embeddings",
-        "curate_documents", "session_stats_events",
+        "minhash_near_dups_documents", "simhash_documents",
+        "ann_topk_embeddings", "curate_documents", "session_stats_events",
+        "asof_events",
     ]
     from xoverrr_spark.operators.dedup import release_intermediates
 

@@ -142,3 +142,18 @@ def test_asof_join_ignores_null_right_timestamps(spark):
     rows = asof_join(left, right, ["k"], "t", "t", ["v"]).collect()
     # the null-ts row must never be "the most recent"; the t=5 row is
     assert rows[0]["ref_t"] == 5 and rows[0]["ref_v"] == 1.0
+
+
+def test_diff_engine_null_keys_group_together(spark):
+    # the tagged-union diff has NO join: null PKs form one group per the
+    # groupBy semantics, so a null-pk row on each side compares as a
+    # matched pair instead of vanishing (a join-based diff would drop
+    # both). Pinned here as intended behavior.
+    from xoverrr_spark.operators.diff import compare_frames
+
+    src = spark.createDataFrame([(None, "a"), (1, "b")], "pk int, v string")
+    trg = spark.createDataFrame([(None, "a"), (1, "b")], "pk int, v string")
+    stats, _ = compare_frames(src, trg, ["pk"], normalize=False)
+    assert stats.comparable_rows == 2
+    assert stats.passed_rows == 2
+    assert stats.final_score == 100
