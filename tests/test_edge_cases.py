@@ -157,3 +157,31 @@ def test_diff_engine_null_keys_group_together(spark):
     assert stats.comparable_rows == 2
     assert stats.passed_rows == 2
     assert stats.final_score == 100
+
+
+def test_null_source_docs_survive_hash_cap_and_source_filter(spark):
+    # same bug class as the null-text dedup drop: a plain equi/semi join
+    # on source silently deletes every null-source doc; the null-source
+    # group must be capped/filtered AS A GROUP like any other
+    from xoverrr_spark.operators.corpus import (
+        cap_per_source,
+        cap_per_source_hash,
+        filter_low_quality_sources,
+    )
+
+    d = spark.createDataFrame(
+        [(i, None if i < 6 else "siteA") for i in range(12)],
+        "doc_id int, source string",
+    )
+    exact = cap_per_source(d, "source", "doc_id", 100)
+    hashed = cap_per_source_hash(d, "source", "doc_id", 100)  # k >= n: keep all
+    assert exact.count() == 12
+    assert hashed.count() == 12  # null-source docs no longer vanish
+    assert hashed.columns == ["doc_id", "source"]
+
+    rates = spark.createDataFrame(
+        [(None, 90.0), ("siteA", 5.0)], "source string, keep_pct double"
+    )
+    kept = filter_low_quality_sources(d, rates, min_keep_pct=10.0)
+    got = sorted(r["doc_id"] for r in kept.collect())
+    assert got == [0, 1, 2, 3, 4, 5]  # null group passes, siteA dropped

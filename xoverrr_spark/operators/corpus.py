@@ -53,12 +53,18 @@ def cap_per_source_hash(
     source's doc count: each doc survives with probability k/n, keeping k
     in expectation, chosen by a pure function of the id (stable across
     runs/partitionings). Replayable in DuckDB with the same md5 math.
+
+    The count join is NULL-SAFE: scraped corpora always contain docs with
+    a null source/domain, groupBy puts them in one group, and a plain
+    equi-join back would drop every one of them (null keys never match) —
+    the window form caps them as one group, so this form must too.
     """
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    counts = counts.withColumnRenamed(source_col, "_src_n")
     return (
-        df.join(counts, source_col)
+        df.join(counts, F.col(source_col).eqNullSafe(F.col("_src_n")))
         .filter(F.pmod(md5_long(F.col(id_col).cast("string")), F.col("_n")) < k)
-        .drop("_n")
+        .drop("_n", "_src_n")
     )
 
 
@@ -87,6 +93,13 @@ def filter_low_quality_sources(
     min_keep_pct: float = 10.0,
 ) -> DataFrame:
     """Drop every doc of sources whose keep rate is below the floor —
-    left_semi against the (small) passing-source list."""
-    ok = rates.filter(F.col("keep_pct") >= min_keep_pct).select(source_col)
-    return df.join(F.broadcast(ok), source_col, "left_semi")
+    left_semi against the (small) passing-source list. Null-safe: the
+    null-source group is a real group with a real keep rate; a plain
+    semi-join would drop its docs unconditionally (null keys never
+    match), turning a pass/fail decision into silent deletion."""
+    ok = rates.filter(F.col("keep_pct") >= min_keep_pct).select(
+        F.col(source_col).alias("_src_ok")
+    )
+    return df.join(
+        F.broadcast(ok), F.col(source_col).eqNullSafe(F.col("_src_ok")), "left_semi"
+    )

@@ -570,9 +570,9 @@ kept AS (
   JOIN qf ON qf.doc_id = dd.doc_id AND qf.keep
   ANTI JOIN contam c ON c.doc_id = dd.doc_id
 ),
-c AS (SELECT source, COUNT(*) AS n FROM kept GROUP BY source)
+c AS (SELECT source AS src_n, COUNT(*) AS n FROM kept GROUP BY source)
 SELECT k.doc_id, k.source
-FROM kept k JOIN c USING (source)
+FROM kept k JOIN c ON k.source IS NOT DISTINCT FROM c.src_n
 WHERE {h} % c.n < {CURATE_SOURCE_CAP}
 """
 
@@ -778,9 +778,9 @@ def source_cap_hash_documents(k: int = SOURCE_CAP_K) -> str:
 
     h = md5_long_sql("CAST(d.doc_id AS VARCHAR)")
     return f"""
-WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+WITH c AS (SELECT source AS src_n, COUNT(*) AS n FROM documents GROUP BY source)
 SELECT d.doc_id, d.source
-FROM documents d JOIN c USING (source)
+FROM documents d JOIN c ON d.source IS NOT DISTINCT FROM c.src_n
 WHERE {h} % c.n < {k}
 """
 
