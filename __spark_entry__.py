@@ -414,11 +414,15 @@ def q_source_cap_hash(spark, sf_dir):
 def q_source_keep_rate(spark, sf_dir):
     from xoverrr_spark.operators.corpus import source_keep_rate
 
+    from xoverrr_spark.pipeline.quality_filter import annotate
+
     d = _t(spark, sf_dir, "documents")
-    dec = quality_filter(
-        d.withColumnRenamed("doc_id", "image_id"), caption_col="text", with_ppl=False
-    ).withColumnRenamed("image_id", "doc_id")
-    return source_keep_rate(dec, d)
+    # annotate keeps every input column incl. `source`, so the decisions
+    # frame feeds the rate aggregation directly: ONE scan + one groupBy,
+    # no re-join against the corpus (quality_filter's decision-only
+    # projection would drop source and force the join form)
+    dec = annotate(d, caption_col="text", with_ppl=False)
+    return source_keep_rate(dec)
 
 
 def q_ann_topk(spark, sf_dir):

@@ -69,16 +69,22 @@ def cap_per_source_hash(
 
 
 def source_keep_rate(
-    decisions: DataFrame, docs: DataFrame,
+    decisions: DataFrame, docs: DataFrame | None = None,
     id_col: str = "doc_id", source_col: str = "source",
 ) -> DataFrame:
     """(source, total_docs, kept_docs, keep_pct) — the aggregation behind
     source-level filtering (drop a whole domain when its keep rate is
     pathological). ``decisions`` is quality_filter output keyed by
-    ``id_col``; one broadcast-or-shuffle join + one groupBy on source."""
-    joined = decisions.select(F.col(id_col), "keep").join(
-        docs.select(F.col(id_col), F.col(source_col)), id_col
-    )
+    ``id_col``. Pass ``docs=None`` when ``decisions`` already carries
+    ``source_col`` (quality_filter keeps every input column) — that skips
+    a second full corpus scan AND the id-key shuffle join, leaving ONE
+    groupBy; the join form exists for decisions computed elsewhere."""
+    if docs is None:
+        joined = decisions.select(F.col(source_col), "keep")
+    else:
+        joined = decisions.select(F.col(id_col), "keep").join(
+            docs.select(F.col(id_col), F.col(source_col)), id_col
+        )
     return joined.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("total_docs"),
         F.count(F.when(F.col("keep"), 1)).alias("kept_docs"),
