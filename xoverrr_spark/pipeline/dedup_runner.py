@@ -1,0 +1,175 @@
+"""Staged, resumable corpus-dedup job — the dedup counterpart of
+``pipeline.runner`` (which runs the quality filter).
+
+Five stages, each materialized to parquet under the output dir; a stage
+whose output already carries parquet's ``_SUCCESS`` marker is skipped on
+resume, so a killed run restarts from the first incomplete stage instead
+of re-shingling the corpus:
+
+    signatures/    (doc_id, mh_0..mh_{k-1})        MinHash signatures
+    bucket_stats/  (band, n_buckets, ...)          the "no silent caps" audit
+    candidates/    (doc_a, doc_b)                  capped-LSH candidate pairs
+    pairs/         (doc_a, doc_b, jaccard)         exact-verified near-dups
+    clusters/      (doc_id, cluster_id)            connected components
+    survivors/     (doc_id, cluster_id, quality_score)  best doc per cluster
+
+Staging between stages is also what a 100 TB run needs operationally: the
+signature/candidate tables are the natural retry+audit boundaries, and
+writing them keeps each stage's shuffle lineage short. Persisted in-op
+caches are freed per stage via ``dedup.release_intermediates``.
+
+Beyond-reference operator composition (round brief); job shape mirrors the
+reference's runner conventions (checkpointed stages, one summary JSON).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokens import quality_score
+from ..operators import dedup as D
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _stage(name: str, out_dir: str, resume: bool, build, log) -> str:
+    path = os.path.join(out_dir, name)
+    if resume and _done(path):
+        log(f"stage {name}: complete, skipping")
+        return path
+    t0 = time.time()
+    df = build()
+    df.write.mode("overwrite").parquet(path)
+    D.release_intermediates(df)
+    log(f"stage {name}: wrote {path} in {time.time() - t0:.1f}s")
+    return path
+
+
+def run_dedup(
+    spark: SparkSession,
+    docs: DataFrame,
+    output_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = D.DEFAULT_MAX_BUCKET,
+    resume: bool = True,
+    log=print,
+) -> dict:
+    os.makedirs(output_dir, exist_ok=True)
+
+    sig_p = _stage(
+        "signatures", output_dir, resume,
+        lambda: D.minhash_signature(docs, id_col, text_col, num_hashes, shingle_n),
+        log,
+    )
+    sig = spark.read.parquet(sig_p)
+
+    _stage(
+        "bucket_stats", output_dir, resume,
+        lambda: D.lsh_bucket_stats(
+            sig, num_hashes, bands, max_bucket_size or D.DEFAULT_MAX_BUCKET
+        ),
+        log,
+    )
+
+    cand_p = _stage(
+        "candidates", output_dir, resume,
+        lambda: D.lsh_candidate_pairs(sig, num_hashes, bands, max_bucket_size),
+        log,
+    )
+    cands = spark.read.parquet(cand_p)
+
+    pairs_p = _stage(
+        "pairs", output_dir, resume,
+        lambda: D.candidate_jaccard(docs, id_col, text_col, cands, shingle_n)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard"),
+        log,
+    )
+    pairs = spark.read.parquet(pairs_p)
+
+    clus_p = _stage(
+        "clusters", output_dir, resume,
+        lambda: D.cluster_near_dups(pairs.select("doc_a", "doc_b")),
+        log,
+    )
+    clusters = spark.read.parquet(clus_p)
+
+    def _survivors():
+        scores = docs.select(
+            F.col(id_col).alias("doc_id"),
+            quality_score(F.col(text_col)).alias("quality_score"),
+        )
+        return D.cluster_survivors(clusters, scores)
+
+    surv_p = _stage("survivors", output_dir, resume, _survivors, log)
+
+    # summary: clustered docs collapse to one survivor each; docs never
+    # paired (the vast majority) are implicitly their own survivor
+    n_docs = docs.count()
+    n_clustered = clusters.count()
+    n_clusters = spark.read.parquet(surv_p).count()
+    stats_rows = spark.read.parquet(os.path.join(output_dir, "bucket_stats")).collect()
+    summary = {
+        "total_docs": n_docs,
+        "candidate_pairs": cands.count(),
+        "verified_pairs": pairs.count(),
+        "clustered_docs": n_clustered,
+        "clusters": n_clusters,
+        "kept_docs": n_docs - n_clustered + n_clusters,
+        "dup_pct": round((n_clustered - n_clusters) * 100.0 / n_docs, 3) if n_docs else 0.0,
+        "over_cap_buckets": int(sum(r["over_cap_buckets"] for r in stats_rows)),
+        "over_cap_docs": int(sum(r["over_cap_docs"] for r in stats_rows)),
+        "jaccard_threshold": jaccard_threshold,
+        "max_bucket_size": max_bucket_size,
+    }
+    with open(os.path.join(output_dir, "dedup_summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    return summary
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description="xoverrr_spark staged corpus dedup")
+    ap.add_argument("--input", required=True,
+                    help="documents parquet path (columns id/text per --id-col/--text-col)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--num-hashes", type=int, default=16)
+    ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument("--shingle-n", type=int, default=3)
+    ap.add_argument("--jaccard-threshold", type=float, default=0.7)
+    ap.add_argument("--max-bucket-size", type=int, default=D.DEFAULT_MAX_BUCKET,
+                    help="LSH bucket cap; 0 disables (exact recall, unbounded worst case)")
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ..session import get_spark
+
+    spark = get_spark("xoverrr_dedup")
+    docs = spark.read.parquet(args.input)
+    summary = run_dedup(
+        spark, docs, args.output,
+        id_col=args.id_col, text_col=args.text_col,
+        num_hashes=args.num_hashes, bands=args.bands, shingle_n=args.shingle_n,
+        jaccard_threshold=args.jaccard_threshold,
+        max_bucket_size=args.max_bucket_size or None,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
