@@ -146,3 +146,15 @@ def test_diff_derivations_reuse_persisted_joined(spark, sf_dir):
             assert "InMemoryTableScan" in plan, plan
     finally:
         j.unpersist()
+
+
+def test_source_keep_rate_single_scan_no_join(spark, sf_dir):
+    # decisions carry `source` (annotate keeps every column), so the rate
+    # aggregation must be one scan + one groupBy — no re-join to the corpus
+    from xoverrr_spark.operators.corpus import source_keep_rate
+    from xoverrr_spark.pipeline.quality_filter import annotate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(source_keep_rate(annotate(d, caption_col="text", with_ppl=False)))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan

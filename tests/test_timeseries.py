@@ -91,3 +91,12 @@ def test_asof_join_matches_pandas_merge_asof_property(spark):
         .toPandas().sort_values("id")
     )
     assert list(got["ref_v"].fillna(-1)) == list(expected["v"].fillna(-1))
+
+
+def test_asof_join_rejects_colliding_output_names(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, "k", 10, 0.0)], "id int, k string, t long, ref_v double")
+    right = spark.createDataFrame([("k", 5, 1.0)], "k string, t long, v double")
+    with pytest.raises(ValueError, match="ref_v"):
+        asof_join(left, right, ["k"], "t", "t", ["v"])

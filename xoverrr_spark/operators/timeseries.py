@@ -51,6 +51,15 @@ def asof_join(
     the max struct is the one ``last()`` carries) rather than a
     pre-aggregation, which would cost a second exchange on (keys, ts).
     """
+    out_names = [f"{prefix}{right_ts}"] + [f"{prefix}{c}" for c in right_vals]
+    clash = [c for c in out_names if c in left.columns]
+    if clash:
+        # Spark would happily emit duplicate column names and every later
+        # select on them would be ambiguous — fail loudly at build time
+        raise ValueError(
+            f"asof_join output column(s) {clash} already exist on the left "
+            "side; pass a different prefix"
+        )
     rv = F.struct(F.col(right_ts).alias("_rts"), *[F.col(c) for c in right_vals])
     # a null right timestamp would sort FIRST (asc nulls first) and be
     # carried as the "earliest" match for every left row — a row with no
