@@ -563,6 +563,16 @@ def q_candidate_edit_distance(spark, sf_dir):
     )
 
 
+def q_value_outliers(spark, sf_dir):
+    from xoverrr_spark.operators.profile import value_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return value_outliers(
+        ev, "value", ["event_type"], z_threshold=oracle.OUTLIER_Z,
+        id_cols=["event_id"],
+    )
+
+
 def q_embedding_bucket_stats(spark, sf_dir):
     from xoverrr_spark.operators.dedup import DEFAULT_MAX_BUCKET, bucket_size_stats
     from xoverrr_spark.operators.similarity import embedding_band_buckets
@@ -635,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_bucket_stats": q_embedding_bucket_stats,
         "cube_events": q_cube_events,
         "candidate_edit_distance_documents": q_candidate_edit_distance,
+        "value_outliers_events": q_value_outliers,
     }
 
 
@@ -692,4 +703,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_bucket_stats": oracle.embedding_bucket_stats(),
         "cube_events": oracle.cube_events(),
         "candidate_edit_distance_documents": oracle.candidate_edit_distance_documents(),
+        "value_outliers_events": oracle.value_outliers_events(),
     }

@@ -50,3 +50,51 @@ def test_source_keep_rate_and_filter(spark, docs):
     survivors = filter_low_quality_sources(docs, rates, min_keep_pct=50.0)
     assert survivors.count() == 60
     assert survivors.filter("source = 'src2'").count() == 0
+
+
+def test_remove_boilerplate_lines(spark):
+    from xoverrr_spark.operators.corpus import remove_boilerplate_lines
+
+    boiler = "accept cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nunique article one\nshare this page"),
+            (2, f"{boiler}\nanother real paragraph\nshare this page"),
+            (3, f"{boiler}\nthird body text"),
+            (4, f"  {boiler}  "),  # whitespace-variant, whole doc is boiler
+            (5, "no boilerplate at all"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_lines_removed"])
+        for r in remove_boilerplate_lines(docs, "doc_id", "text", 2).collect()
+    }
+    # boiler appears in 4 docs (trim-normalized), "share this page" in 2
+    assert out[1] == ("unique article one\nshare this page", 1)
+    assert out[2] == ("another real paragraph\nshare this page", 1)
+    assert out[3] == ("third body text", 1)
+    assert out[4] == ("", 1)          # fully-boilerplate doc kept, emptied
+    assert out[5] == ("no boilerplate at all", 0)
+    assert len(out) == 5              # no rows lost
+
+
+def test_remove_boilerplate_preserves_line_order(spark):
+    from xoverrr_spark.operators.corpus import remove_boilerplate_lines
+
+    text = "\n".join(f"line {i}" for i in range(20))
+    docs = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    row = remove_boilerplate_lines(docs, "doc_id", "text", 5).collect()[0]
+    assert row["text_clean"] == text and row["n_lines_removed"] == 0
+
+
+def test_value_outliers_flags_injected_anomaly(spark):
+    from xoverrr_spark.operators.profile import value_outliers
+
+    rows = [(i, "a", 10.0 + (i % 7) * 0.1) for i in range(200)]
+    rows.append((900, "a", 10_000.0))          # the outlier
+    rows += [(1000 + i, "b", 5.0) for i in range(50)]  # zero-variance group
+    df = spark.createDataFrame(rows, "event_id int, event_type string, value double")
+    got = value_outliers(df, "value", ["event_type"], 3.0, id_cols=["event_id"]).collect()
+    assert [r["event_id"] for r in got] == [900]
+    assert got[0]["z"] > 3.0

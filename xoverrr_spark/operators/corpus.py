@@ -109,3 +109,56 @@ def filter_low_quality_sources(
     return df.join(
         F.broadcast(ok), F.col(source_col).eqNullSafe(F.col("_src_ok")), "left_semi"
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame, id_col: str, text_col: str, max_line_doc_freq: int,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal: a line
+    (trim-normalized) appearing in MORE than ``max_line_doc_freq`` distinct
+    documents is dropped from every document (nav bars, cookie banners,
+    share buttons — the classic web-corpus noise that per-document dedup
+    cannot touch because the surrounding text differs).
+
+    Scale shape (the canonical pipeline form): posexplode lines -> one
+    count-distinct-docs aggregate keyed by line hash (partial map-side
+    combine) -> semi-join rare lines -> regroup per doc. Order is
+    preserved by sorting the (pos, line) structs inside the row, never a
+    global sort. Docs whose every line is boilerplate come back with an
+    empty string (left join keeps the row — dropping it is the quality
+    filter's decision, not this operator's).
+
+    Returns all input columns + ``text_clean`` + ``n_lines_removed``.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_lkey", F.md5(F.trim(F.col("_line"))))
+    rare = (
+        lines.groupBy("_lkey")
+        .agg(F.countDistinct(F.col(id_col)).alias("_docs"))
+        .filter(F.col("_docs") <= max_line_doc_freq)
+        .select("_lkey")
+    )
+    kept = lines.join(rare, "_lkey", "left_semi")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("_kept_lines"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_total_lines"))
+    return (
+        df.join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .withColumn("text_clean", F.coalesce("text_clean", F.lit("")))
+        .withColumn(
+            "n_lines_removed",
+            F.coalesce("_total_lines", F.lit(0)) - F.coalesce("_kept_lines", F.lit(0)),
+        )
+        .drop("_total_lines", "_kept_lines")
+    )

@@ -91,3 +91,49 @@ def approx_profile(df: DataFrame, columns: list[str] | None = None,
             ])
         ).alias("p")
     ).select("p.*")
+
+
+def value_outliers(
+    df: DataFrame, value_col: str, group_cols: list[str],
+    z_threshold: float = 3.0, id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group z-score outlier flags: rows whose ``value_col`` deviates
+    more than ``z_threshold`` standard deviations from their group mean —
+    the standard numeric-anomaly companion to the count-based
+    ``counts.count_anomalies``.
+
+    Cross-engine exactness: the group sums (sum, sum-of-squares) go
+    through exact DECIMAL casts, so mean/std derive from identical exact
+    sums on both engines and the per-row z arithmetic is the same IEEE op
+    sequence — the DuckDB oracle replays it bit-for-bit. Population
+    variance (the checkable definition; sample correction is a constant
+    factor away). The stats join back is a broadcast (one row per group),
+    null-safe on the group keys.
+    """
+    n = F.count(F.lit(1)).alias("_n")
+    s = F.sum(F.col(value_col).cast("decimal(28,6)")).alias("_s")
+    sq = F.sum((F.col(value_col) * F.col(value_col)).cast("decimal(28,6)")).alias("_sq")
+    stats = df.groupBy(*group_cols).agg(n, s, sq)
+    mean = (F.col("_s").cast("double") / F.col("_n")).alias("_mean")
+    var = (F.col("_sq").cast("double") / F.col("_n") - F.col("_mean") * F.col("_mean"))
+    stats = (
+        stats.withColumn("_mean", mean)
+        .withColumn("_std", F.sqrt(F.greatest(var, F.lit(0.0))))
+        .select(
+            *[F.col(c).alias(f"_g_{c}") for c in group_cols], "_mean", "_std"
+        )
+    )
+    cond = None
+    for c in group_cols:
+        e = F.col(c).eqNullSafe(F.col(f"_g_{c}"))
+        cond = e if cond is None else cond & e
+    z = F.when(
+        F.col("_std") > 0, (F.col(value_col) - F.col("_mean")) / F.col("_std")
+    ).otherwise(F.lit(0.0))
+    keep = (id_cols or []) + group_cols + [value_col]
+    return (
+        df.join(F.broadcast(stats), cond)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= z_threshold)
+        .select(*keep, F.col("z").cast("decimal(18,6)").cast("double").alias("z"))
+    )

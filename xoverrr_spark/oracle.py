@@ -1137,3 +1137,33 @@ p AS (
 )
 SELECT doc_a, doc_b, edit_distance FROM p WHERE edit_distance <= {max_distance}
 """
+
+
+OUTLIER_Z = 3.0
+
+
+def value_outliers_events() -> str:
+    """Twin of profile.value_outliers on events.value per event_type:
+    mean/std derive from exact DECIMAL sums (identical on both engines),
+    the per-row z is the same IEEE op sequence, and the output z
+    round-trips DECIMAL(18,6)."""
+    return f"""
+WITH stats0 AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(28,6))) AS s,
+         SUM(CAST(value * value AS DECIMAL(28,6))) AS sq
+  FROM events GROUP BY event_type
+),
+stats AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE) / n AS mean,
+         sqrt(greatest(CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS std
+  FROM stats0
+)
+SELECT e.event_id, e.event_type, e.value,
+       CAST(CAST(CASE WHEN st.std > 0 THEN (e.value - st.mean) / st.std ELSE 0.0 END
+            AS DECIMAL(18,6)) AS DOUBLE) AS z
+FROM events e JOIN stats st ON e.event_type IS NOT DISTINCT FROM st.event_type
+WHERE abs(CASE WHEN st.std > 0 THEN (e.value - st.mean) / st.std ELSE 0.0 END) >= {OUTLIER_Z}
+"""
