@@ -563,6 +563,32 @@ def q_candidate_edit_distance(spark, sf_dir):
     )
 
 
+def q_multimodal_near_dup_clusters(spark, sf_dir):
+    """Modality fusion: MinHash-Jaccard and SimHash-Hamming near-dup pairs
+    union into ONE edge set before connected components — the two
+    detectors catch different duplicate families (shingle overlap vs
+    token distribution), and clustering after fusion merges chains that
+    cross modalities."""
+    from xoverrr_spark.operators.dedup import (
+        cluster_near_dups,
+        minhash_near_dups,
+        release_intermediates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    mh = minhash_near_dups(d, "doc_id", "text", jaccard_threshold=0.8)
+    sh = simhash_near_dups(d, "doc_id", "text")
+    pairs = (
+        mh.select("doc_a", "doc_b")
+        .unionByName(sh.select("doc_a", "doc_b"))
+        .distinct()
+    )
+    labels = cluster_near_dups(pairs)
+    release_intermediates(mh)
+    release_intermediates(sh)
+    return labels
+
+
 def q_value_outliers(spark, sf_dir):
     from xoverrr_spark.operators.profile import value_outliers
 
@@ -646,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_events": q_cube_events,
         "candidate_edit_distance_documents": q_candidate_edit_distance,
         "value_outliers_events": q_value_outliers,
+        "multimodal_near_dup_clusters": q_multimodal_near_dup_clusters,
     }
 
 
@@ -704,4 +731,5 @@ def oracle_sql() -> dict[str, str]:
         "cube_events": oracle.cube_events(),
         "candidate_edit_distance_documents": oracle.candidate_edit_distance_documents(),
         "value_outliers_events": oracle.value_outliers_events(),
+        "multimodal_near_dup_clusters": oracle.multimodal_near_dup_clusters(),
     }

@@ -1167,3 +1167,34 @@ SELECT e.event_id, e.event_type, e.value,
 FROM events e JOIN stats st ON e.event_type IS NOT DISTINCT FROM st.event_type
 WHERE abs(CASE WHEN st.std > 0 THEN (e.value - st.mean) / st.std ELSE 0.0 END) >= {OUTLIER_Z}
 """
+
+
+def multimodal_near_dup_clusters(
+    num_hashes: int = 16, bands: int = 4, jaccard_threshold: float = 0.8,
+    max_hamming: int = 3,
+) -> str:
+    """Twin of the modality-fusion composition: near-dup pairs from BOTH
+    the MinHash-Jaccard and SimHash-Hamming detectors union into one edge
+    set before connected components — two detectors catch different
+    duplicate families (shingle-overlap vs token-distribution), and
+    clustering after fusion merges chains that cross modalities."""
+    return f"""
+WITH RECURSIVE mh AS (
+  SELECT doc_a, doc_b FROM ({minhash_near_dups_documents(num_hashes, bands, jaccard_threshold).strip()})
+),
+sh2 AS (
+  SELECT doc_a, doc_b FROM ({simhash_near_dups_documents(max_hamming).strip()})
+),
+pairs AS (SELECT * FROM mh UNION SELECT * FROM sh2),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+"""
