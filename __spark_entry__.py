@@ -589,6 +589,24 @@ def q_multimodal_near_dup_clusters(spark, sf_dir):
     return labels
 
 
+def q_boilerplate_lines(spark, sf_dir):
+    """Line-level boilerplate removal over deterministically constructed
+    multi-line docs (text + source + a constant footer): the footer and
+    any hot source line drop; unique text lines survive in order."""
+    from xoverrr_spark.operators.corpus import remove_boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"), F.col("source"), F.lit(oracle.BOILERPLATE_FOOTER)
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(
+        d, "doc_id", "text", oracle.BOILERPLATE_LINE_MAX_DOCS
+    )
+    return out.select("doc_id", "text_clean", "n_lines_removed")
+
+
 def q_value_outliers(spark, sf_dir):
     from xoverrr_spark.operators.profile import value_outliers
 
@@ -673,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_edit_distance_documents": q_candidate_edit_distance,
         "value_outliers_events": q_value_outliers,
         "multimodal_near_dup_clusters": q_multimodal_near_dup_clusters,
+        "boilerplate_lines_documents": q_boilerplate_lines,
     }
 
 
@@ -732,4 +751,5 @@ def oracle_sql() -> dict[str, str]:
         "candidate_edit_distance_documents": oracle.candidate_edit_distance_documents(),
         "value_outliers_events": oracle.value_outliers_events(),
         "multimodal_near_dup_clusters": oracle.multimodal_near_dup_clusters(),
+        "boilerplate_lines_documents": oracle.boilerplate_lines_documents(),
     }

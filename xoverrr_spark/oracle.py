@@ -1198,3 +1198,43 @@ reach AS (
 )
 SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
 """
+
+
+BOILERPLATE_LINE_MAX_DOCS = 20
+BOILERPLATE_FOOTER = "corpus footer boilerplate"
+
+
+def boilerplate_lines_documents() -> str:
+    """Twin of corpus.remove_boilerplate_lines over deterministically
+    constructed multi-line docs (text + source + a constant footer as
+    three lines): lines appearing in more than BOILERPLATE_LINE_MAX_DOCS
+    distinct docs drop from every doc; the rebuild preserves line order;
+    docs whose every line is boilerplate come back empty, never missing."""
+    return f"""
+WITH ml AS (
+  SELECT doc_id,
+         string_split(text || chr(10) || source || chr(10) || '{BOILERPLATE_FOOTER}',
+                      chr(10)) AS l
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, l[pos] AS line, pos
+  FROM ml, UNNEST(generate_series(1, len(l))) AS t(pos)
+),
+freq AS (
+  SELECT trim(line) AS lk, COUNT(DISTINCT doc_id) AS docs FROM lines GROUP BY 1
+),
+kept AS (
+  SELECT li.doc_id, li.line, li.pos FROM lines li JOIN freq f ON trim(li.line) = f.lk
+  WHERE f.docs <= {BOILERPLATE_LINE_MAX_DOCS}
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+         COUNT(*) AS kept_lines
+  FROM kept GROUP BY doc_id
+)
+SELECT m.doc_id,
+       COALESCE(r.text_clean, '') AS text_clean,
+       CAST(len(m.l) - COALESCE(r.kept_lines, 0) AS BIGINT) AS n_lines_removed
+FROM ml m LEFT JOIN rebuilt r USING (doc_id)
+"""
