@@ -328,22 +328,31 @@ def q_curate_documents(spark, sf_dir):
     already-oracle-verified operator; this query pins that they compose.
     Dedup uses the single-scan window form: the composition reads and
     fingerprints the corpus once instead of twice (the semi-join form is
-    for flood-prone corpora; see exact_dedup docstrings)."""
+    for flood-prone corpora; see exact_dedup docstrings). Decontamination
+    shingles ONLY the quality-kept survivors — the anti-join can only
+    remove ids present in that frame, so flagging the rest of the corpus
+    is pure wasted work (at 10^9 docs the decontamination pass runs over
+    the curated subset, not the raw crawl)."""
     from xoverrr_spark.operators.corpus import cap_per_source
     from xoverrr_spark.operators.dedup import contaminated_docs, exact_dedup_window
     from xoverrr_spark.pipeline.quality_filter import annotate
 
+    from xoverrr_spark.operators.dedup import _attach_intermediates
+
     d = _t(spark, sf_dir, "documents")
     survivors = exact_dedup_window(d, "doc_id", "text")
     # annotate keeps every input column, so the keep decision is a FILTER on
-    # the survivor frame (no self-semi-join that would recompute the dedup)
-    s2 = (
-        annotate(survivors, caption_col="text", with_ppl=False)
-        .filter("keep").select("doc_id", "source")
-    )
+    # the survivor frame (no self-semi-join that would recompute the dedup);
+    # PERSISTED because two consumers read it (the anti-join left side and
+    # the decontamination shingling) and branches of one plan never share
+    s2 = annotate(survivors, caption_col="text", with_ppl=False).filter("keep").persist()
     bench = d.filter(F.col("doc_id") % oracle.DECONTAM_BENCH_MOD == 0)
-    s3 = s2.join(contaminated_docs(d, bench, "doc_id", "text"), "doc_id", "left_anti")
-    return cap_per_source(s3, "source", "doc_id", oracle.CURATE_SOURCE_CAP)
+    s3 = (
+        s2.select("doc_id", "source")
+        .join(contaminated_docs(s2, bench, "doc_id", "text"), "doc_id", "left_anti")
+    )
+    out = cap_per_source(s3, "source", "doc_id", oracle.CURATE_SOURCE_CAP)
+    return _attach_intermediates(out, [s2])
 
 
 def q_curate_documents_hash(spark, sf_dir):
@@ -354,15 +363,20 @@ def q_curate_documents_hash(spark, sf_dir):
     from xoverrr_spark.operators.dedup import contaminated_docs, exact_dedup_window
     from xoverrr_spark.pipeline.quality_filter import annotate
 
+    from xoverrr_spark.operators.dedup import _attach_intermediates
+
     d = _t(spark, sf_dir, "documents")
     survivors = exact_dedup_window(d, "doc_id", "text")
-    s2 = (
-        annotate(survivors, caption_col="text", with_ppl=False)
-        .filter("keep").select("doc_id", "source")
-    )
+    # persisted two-consumer survivor frame; decontamination shingles only
+    # the kept survivors (see q_curate_documents)
+    s2 = annotate(survivors, caption_col="text", with_ppl=False).filter("keep").persist()
     bench = d.filter(F.col("doc_id") % oracle.DECONTAM_BENCH_MOD == 0)
-    s3 = s2.join(contaminated_docs(d, bench, "doc_id", "text"), "doc_id", "left_anti")
-    return cap_per_source_hash(s3, "source", "doc_id", oracle.CURATE_SOURCE_CAP)
+    s3 = (
+        s2.select("doc_id", "source")
+        .join(contaminated_docs(s2, bench, "doc_id", "text"), "doc_id", "left_anti")
+    )
+    out = cap_per_source_hash(s3, "source", "doc_id", oracle.CURATE_SOURCE_CAP)
+    return _attach_intermediates(out, [s2])
 
 
 def q_lsh_bucket_stats(spark, sf_dir):
