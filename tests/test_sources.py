@@ -29,3 +29,39 @@ def test_table_prefix_and_bare_name(spark):
 def test_iceberg_absence_reported_cleanly(spark):
     with pytest.raises(QueryExecutionError, match="Iceberg runtime"):
         load_table(spark, "iceberg:cat.db.t")
+
+
+def test_binaryfile_source_maps_raw_images_to_schema(spark, tmp_path):
+    import numpy as np
+
+    from xoverrr_spark.codecs.png import decode_image, encode_png
+    from xoverrr_spark.sources import load_table
+
+    d = tmp_path / "raw_imgs"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    pixels = {}
+    for i in range(4):
+        px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        (d / f"img_{i}.png").write_bytes(encode_png(px))
+        pixels[f"img_{i}.png"] = px
+    (d / "notes.txt").write_bytes(b"not an image")
+
+    df = load_table(spark, f"binaryfile:{d}::*.png")
+    rows = df.collect()
+    assert len(rows) == 4                      # glob filtered the .txt out
+    assert df.columns == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    for r in rows:
+        assert r["fmt"] == "png"
+        name = r["image_id"].rsplit("/", 1)[-1]
+        assert np.array_equal(decode_image(bytes(r["bytes"]), "png"), pixels[name])
+
+
+def test_binaryfile_source_jpg_normalized_to_jpeg(spark, tmp_path):
+    from xoverrr_spark.sources import load_table
+
+    d = tmp_path / "raw2"
+    d.mkdir()
+    (d / "a.jpg").write_bytes(b"\xff\xd8fakejpeg")
+    df = load_table(spark, f"binaryfile:{d}")
+    assert df.collect()[0]["fmt"] == "jpeg"

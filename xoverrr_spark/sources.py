@@ -9,6 +9,13 @@ Accepted specs:
                                     header row; schema inference costs an
                                     extra scan — fine for dev inputs, give
                                     production CSVs an explicit schema)
+- ``binaryfile:`` path[::glob]   -> raw file ingestion (``binaryFile``
+                                    format) mapped onto the images schema:
+                                    file path becomes ``image_id``, bytes
+                                    ``bytes``; w/h/fmt/caption/phash start
+                                    empty for the pipeline to fill — the
+                                    entry ramp from a directory of crawled
+                                    images into the Iceberg table shape
 - ``iceberg:catalog.db.table``   -> Iceberg table scan (partition pruning,
                                     snapshot reads; needs the Iceberg
                                     runtime jar on the cluster — present in
@@ -55,6 +62,25 @@ def load_table(
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
         return reader.load(ident)
+    if spec.startswith("binaryfile:"):
+        rest = spec[len("binaryfile:"):]
+        path, _, glob = rest.partition("::")
+        reader = spark.read.format("binaryFile")
+        if glob:
+            reader = reader.option("pathGlobFilter", glob)
+        from pyspark.sql import functions as F
+
+        raw = reader.load(path)
+        fmt = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+        return raw.select(
+            F.col("path").alias("image_id"),
+            F.col("content").alias("bytes"),
+            F.lit(None).cast("int").alias("w"),
+            F.lit(None).cast("int").alias("h"),
+            F.when(fmt == "jpg", "jpeg").otherwise(fmt).alias("fmt"),
+            F.lit(None).cast("string").alias("caption"),
+            F.lit(None).cast("long").alias("phash"),
+        )
     if spec.startswith("table:"):
         return spark.table(spec[len("table:"):])
     if spec.startswith("parquet:"):
