@@ -85,3 +85,21 @@ def test_concurrent_buckets_equal_serial(spark, tmp_path):
     a, b = _decisions(spark, str(serial)), _decisions(spark, str(conc))
     assert a["image_id"].tolist() == b["image_id"].tolist()
     assert a["keep"].tolist() == b["keep"].tolist()
+
+
+def test_write_kept_outputs_curated_records(spark, tmp_path):
+    from xoverrr_spark.fixtures.images import images_df
+    from xoverrr_spark.pipeline.runner import run_pipeline
+
+    out = str(tmp_path / "kept_run")
+    images = images_df(spark, 200, 31)
+    summary = run_pipeline(spark, images, out, n_buckets=4, write_kept=True)
+    kept = spark.read.parquet(f"{out}/kept")
+    assert kept.count() == summary["kept_rows"]
+    # curated records carry the FULL input row (payload included) + decisions
+    for c in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+              "keep", "drop_reasons", "caption_scrubbed"):
+        assert c in kept.columns, c
+    assert kept.filter("NOT keep").count() == 0
+    dec = spark.read.parquet(f"{out}/decisions")
+    assert dec.filter("keep").count() == kept.count()

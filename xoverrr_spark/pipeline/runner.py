@@ -84,10 +84,14 @@ def _run_bucket(
     run_id: str,
     b: int,
     salt_partitions: int,
+    write_kept: bool = False,
 ) -> dict:
     """One bucket's unit of work: filter -> salt -> pipeline -> decisions +
     metrics + lineage + completion marker. Safe to run concurrently with
-    other buckets (all outputs are bucket-scoped paths)."""
+    other buckets (all outputs are bucket-scoped paths). ``write_kept``
+    additionally writes the CURATED records (kept rows with every input
+    column incl. the binary payload) under kept/bucket=<b> — the product
+    a downstream training job actually consumes."""
     t0 = time.time()
     part = bucketed.filter(F.col("bucket") == b).drop("bucket")
     if salt_partitions > 1:
@@ -96,9 +100,23 @@ def _run_bucket(
         # k distinct salt values get murmur3-hashed again and collide,
         # leaving partitions empty (observed 4/8 filled).
         part = part.repartition(salt_partitions, F.xxhash64("image_id"))
-    decisions = quality_filter(part)
+    if write_kept:
+        from .quality_filter import OUTPUT_COLUMNS, annotate
+
+        # ONE annotate feeds both outputs (persisted: branches of a plan
+        # never share execution); decisions stay the decision projection
+        ann = annotate(part).persist()
+        decisions = ann.select(*OUTPUT_COLUMNS)
+    else:
+        ann = None
+        decisions = quality_filter(part)
     dec_path = os.path.join(output_dir, "decisions", f"bucket={b}")
     decisions.write.mode("overwrite").parquet(dec_path)
+    if ann is not None:
+        ann.filter("keep").write.mode("overwrite").parquet(
+            os.path.join(output_dir, "kept", f"bucket={b}")
+        )
+        ann.unpersist()
 
     dec_out = spark.read.parquet(dec_path)
     metrics = drop_reason_breakdown(dec_out).withColumn("run_id", F.lit(run_id))
@@ -173,6 +191,7 @@ def run_pipeline(
     tolerance_drop_pct: float = 100.0,
     concurrency: int = 1,
     stage_input: bool = True,
+    write_kept: bool = False,
     _fail_after_bucket: int | None = None,
 ) -> dict:
     """Run the quality filter bucket-by-bucket with checkpointed resume.
@@ -209,14 +228,18 @@ def run_pipeline(
 
         with ThreadPoolExecutor(max_workers=concurrency) as pool:
             rows = pool.map(
-                lambda b: _run_bucket(spark, bucketed, output_dir, run_id, b, salt_partitions),
+                lambda b: _run_bucket(
+                    spark, bucketed, output_dir, run_id, b, salt_partitions, write_kept
+                ),
                 todo,
             )
             lineage.extend(rows)
     else:
         for b in todo:
             lineage.append(
-                _run_bucket(spark, bucketed, output_dir, run_id, b, salt_partitions)
+                _run_bucket(
+                    spark, bucketed, output_dir, run_id, b, salt_partitions, write_kept
+                )
             )
             if _fail_after_bucket is not None and b >= _fail_after_bucket:
                 raise RuntimeError(f"injected failure after bucket {b}")
@@ -261,6 +284,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="(synthetic input only) diff decisions against the "
                     "independent golden labeler and report F1 + score")
     ap.add_argument("--tolerance", type=float, default=100.0)
+    ap.add_argument("--write-kept", action="store_true",
+                    help="also write curated records (kept rows, all input "
+                    "columns incl. payload) under kept/bucket=N")
     args = ap.parse_args(argv)
 
     from ..session import get_spark
@@ -280,6 +306,7 @@ def main(argv: list[str] | None = None) -> None:
         spark, images, args.output, args.buckets,
         salt_partitions=args.salt, resume=not args.no_resume,
         tolerance_drop_pct=args.tolerance, concurrency=args.concurrency,
+        write_kept=args.write_kept,
     )
     if args.verify_golden:
         if not args.synthetic:
