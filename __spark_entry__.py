@@ -639,6 +639,12 @@ def q_embedding_bucket_stats(spark, sf_dir):
     return bucket_size_stats(embedding_band_buckets(emb), DEFAULT_MAX_BUCKET)
 
 
+def q_repetition_stats(spark, sf_dir):
+    from xoverrr_spark.operators.repetition import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 # -------------------------------------------------------------- contract ----
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -706,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers_events": q_value_outliers,
         "multimodal_near_dup_clusters": q_multimodal_near_dup_clusters,
         "boilerplate_lines_documents": q_boilerplate_lines,
+        "repetition_stats_documents": q_repetition_stats,
     }
 
 
@@ -766,4 +773,5 @@ def oracle_sql() -> dict[str, str]:
         "value_outliers_events": oracle.value_outliers_events(),
         "multimodal_near_dup_clusters": oracle.multimodal_near_dup_clusters(),
         "boilerplate_lines_documents": oracle.boilerplate_lines_documents(),
+        "repetition_stats_documents": oracle.repetition_stats_documents(),
     }

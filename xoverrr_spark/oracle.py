@@ -1238,3 +1238,32 @@ SELECT m.doc_id,
        CAST(len(m.l) - COALESCE(r.kept_lines, 0) AS BIGINT) AS n_lines_removed
 FROM ml m LEFT JOIN rebuilt r USING (doc_id)
 """
+
+
+def repetition_stats_documents() -> str:
+    """Twin of operators.repetition.repetition_stats: word-bigram instance
+    counts per doc; fractions are single int/int double divisions (IEEE
+    correctly-rounded => bit-identical to Spark)."""
+    return r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(words) - 1),
+                               i -> words[i] || ' ' || words[i + 1])) AS bigram
+  FROM w WHERE len(words) >= 2
+),
+c AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_bigrams,
+       CAST(MAX(c) AS BIGINT) AS top_count,
+       CAST(SUM(c) - COUNT(*) AS BIGINT) * 1.0 / CAST(SUM(c) AS BIGINT)
+         AS dup_bigram_frac,
+       MAX(c) * 1.0 / CAST(SUM(c) AS BIGINT) AS top_bigram_frac
+FROM c GROUP BY doc_id
+"""
