@@ -639,6 +639,30 @@ def q_embedding_bucket_stats(spark, sf_dir):
     return bucket_size_stats(embedding_band_buckets(emb), DEFAULT_MAX_BUCKET)
 
 
+def q_range_count_events(spark, sf_dir):
+    """Binned interval join: per error event, the count and value-sum of
+    same-user events in the following 5 minutes (zero-match errors kept)."""
+    from xoverrr_spark.operators.timeseries import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    pairs = range_join(
+        errors, ev, ["user_id"], "ts", "ts", ["value"], window_seconds=300
+    )
+    agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("r_value").cast("decimal(18,4)")).alias("_tv"),
+    )
+    return (
+        errors.join(agg, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_follow"),
+            F.coalesce(F.col("_tv").cast("double"), F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     from xoverrr_spark.operators.repetition import repetition_stats
 
@@ -713,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_near_dup_clusters": q_multimodal_near_dup_clusters,
         "boilerplate_lines_documents": q_boilerplate_lines,
         "repetition_stats_documents": q_repetition_stats,
+        "range_count_events": q_range_count_events,
     }
 
 
@@ -774,4 +799,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_near_dup_clusters": oracle.multimodal_near_dup_clusters(),
         "boilerplate_lines_documents": oracle.boilerplate_lines_documents(),
         "repetition_stats_documents": oracle.repetition_stats_documents(),
+        "range_count_events": oracle.range_count_events(),
     }

@@ -100,3 +100,84 @@ def test_asof_join_rejects_colliding_output_names(spark):
     right = spark.createDataFrame([("k", 5, 1.0)], "k string, t long, v double")
     with pytest.raises(ValueError, match="ref_v"):
         asof_join(left, right, ["k"], "t", "t", ["v"])
+
+
+# ----------------------------------------------------------- range_join ----
+
+def _rj_frames(spark):
+    from datetime import datetime as dt
+    L = spark.createDataFrame(
+        [(1, 10, dt(2024, 1, 1, 0, 0, 0)),
+         (2, 10, dt(2024, 1, 1, 1, 0, 0)),
+         (3, 20, dt(2024, 1, 1, 0, 2, 30)),
+         (4, None, dt(2024, 1, 1, 0, 0, 0)),
+         (5, 10, None)],
+        "lid bigint, user_id bigint, ts timestamp")
+    R = spark.createDataFrame(
+        [(100, 10, dt(2024, 1, 1, 0, 0, 0)),      # == left ts: excluded (strict)
+         (101, 10, dt(2024, 1, 1, 0, 4, 59)),     # in window of lid=1
+         (102, 10, dt(2024, 1, 1, 0, 5, 0)),      # exactly +300s: INCLUDED
+         (103, 10, dt(2024, 1, 1, 0, 5, 0, 1)),   # +300s +1us: excluded
+         (104, 20, dt(2024, 1, 1, 0, 3, 0)),      # other key, in lid=3 window
+         (105, None, dt(2024, 1, 1, 0, 0, 30)),   # null key matches lid=4
+         (106, 10, None)],                        # null right ts: never matches
+        "rid bigint, user_id bigint, ts timestamp")
+    return L, R
+
+
+def test_range_join_boundary_and_null_semantics(spark):
+    from xoverrr_spark.operators.timeseries import range_join
+    L, R = _rj_frames(spark)
+    got = range_join(L, R, ["user_id"], "ts", "ts", ["rid"], 300)
+    pairs = sorted((r.lid, r.r_rid) for r in got.collect())
+    assert pairs == [(1, 101), (1, 102), (3, 104), (4, 105)]
+
+
+def test_range_join_crosses_bin_boundary(spark):
+    """A match in the NEXT bin (left near end of its bin) is still found."""
+    from datetime import datetime as dt
+    from xoverrr_spark.operators.timeseries import range_join
+    L = spark.createDataFrame([(1, 1, dt(2024, 1, 1, 0, 4, 59))],
+                              "lid bigint, k bigint, ts timestamp")
+    R = spark.createDataFrame([(9, 1, dt(2024, 1, 1, 0, 7, 0))],
+                              "rid bigint, k bigint, ts timestamp")
+    assert range_join(L, R, ["k"], "ts", "ts", ["rid"], 300).count() == 1
+
+
+def test_range_join_plan_is_hash_join(spark):
+    """The binned formulation must plan as a hash equi-join — never a
+    nested-loop/cartesian (what the raw theta-join would give)."""
+    from xoverrr_spark.operators.timeseries import range_join
+    L, R = _rj_frames(spark)
+    plan = range_join(L, R, ["user_id"], "ts", "ts", ["rid"], 300)._jdf\
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_range_join_matches_pandas_twin_property(spark):
+    import pandas as pd
+    from xoverrr_spark.operators.timeseries import range_join
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = ev.filter("event_type = 'error'").select("event_id", "user_id", "ts")
+    got = sorted(
+        (r.event_id, r.r_event_id)
+        for r in range_join(left, ev, ["user_id"], "ts", "ts",
+                            ["event_id"], 86400).collect()
+    )
+    pe = ev.toPandas()
+    le = pe[pe.event_type == "error"]
+    m = le.merge(pe, on="user_id", suffixes=("_l", "_r"))
+    m = m[(m.ts_r > m.ts_l) & (m.ts_r <= m.ts_l + pd.Timedelta(seconds=86400))]
+    want = sorted(zip(m.event_id_l, m.event_id_r))
+    assert got == want and len(got) > 100
+
+
+def test_range_join_rejects_colliding_output_names(spark):
+    import pytest
+    from xoverrr_spark.operators.timeseries import range_join
+    L, R = _rj_frames(spark)
+    with pytest.raises(ValueError, match="already exist"):
+        range_join(L.withColumnRenamed("lid", "r_ts"), R,
+                   ["user_id"], "ts", "ts", ["rid"], 300)

@@ -23,7 +23,7 @@ Ordering (_ts, _tag) with right = 0 makes the match INCLUSIVE
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -92,3 +92,80 @@ def asof_join(
     out_cols.append(F.col("_m._rts").alias(f"{prefix}{right_ts}"))
     out_cols += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_vals]
     return carried.select(*out_cols)
+
+
+def _epoch_bin(ts: Column, width_s: int) -> Column:
+    """Conservative time bucket: floor(epoch-seconds / width). Epoch seconds
+    (~2^31) divided as doubles are exact well past 2^52, so the floor is the
+    true integer quotient."""
+    return F.floor(ts.cast("timestamp").cast("long") / F.lit(width_s)).cast("long")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    window_seconds: int,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Interval join: all (left, right) pairs of the same key with
+    ``left.ts < right.ts <= left.ts + window_seconds`` (strictly-after,
+    inclusive upper bound — "what happened in the W seconds after X").
+
+    Spark has no range-join operator; a naive key-equi-join with the range
+    as a post-filter degenerates per key into a cartesian product (the
+    low-cardinality ``user_id`` case), and a pure theta-join becomes a
+    broadcast-nested-loop. The standard scale shape used here is BINNED
+    candidate generation:
+
+      - bin width = window_seconds, so every true match spans at most TWO
+        adjacent bins: with b = floor(l_sec/W), any r in (l, l+W] has
+        floor(r_sec/W) ∈ {b, b+1} (truncation proof in the docstring test).
+      - the left side explodes to its two candidate bins (2× rows, no skew),
+        the right side keeps its one bin, and the join is an EQUI-join on
+        (keys..., bin) — hash-partitioned, AQE-skew-splittable, never
+        nested-loop.
+      - the exact interval predicate filters candidates at full timestamp
+        precision (microseconds), so binning never changes results, only
+        bounds the candidate set.
+
+    Each true pair is produced exactly once (a right row lives in one bin).
+    Key equality is NULL-SAFE (``<=>``): null-key rows match each other
+    instead of silently vanishing (CLAUDE.md null-key discipline; the
+    oracle twin uses IS NOT DISTINCT FROM). Left rows with a null timestamp
+    have no interval and yield no pairs; null right timestamps fail the
+    range predicate in both engines.
+
+    Output: all left columns + ``<prefix><right_ts>`` + ``<prefix><c>`` for
+    each right_vals column (inner-join semantics: only matched pairs).
+    """
+    out_names = [f"{prefix}{right_ts}"] + [f"{prefix}{c}" for c in right_vals]
+    clash = [c for c in out_names if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"range_join output column(s) {clash} already exist on the left "
+            "side; pass a different prefix"
+        )
+    w = int(window_seconds)
+    if w <= 0:
+        raise ValueError("window_seconds must be positive")
+    lbin = _epoch_bin(F.col(left_ts), w)
+    l2 = left.withColumn("_bin", F.explode(F.array(lbin, lbin + 1)))
+    r2 = right.select(
+        *[F.col(k).alias(f"_rk_{k}") for k in keys],
+        _epoch_bin(F.col(right_ts), w).alias("_bin"),
+        F.col(right_ts).alias(f"{prefix}{right_ts}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_vals],
+    )
+    cond = l2["_bin"] == r2["_bin"]
+    for k in keys:
+        cond = cond & l2[k].eqNullSafe(r2[f"_rk_{k}"])
+    rts = F.col(f"{prefix}{right_ts}")
+    lts = F.col(left_ts)
+    exact = (rts > lts) & (rts <= lts + F.expr(f"INTERVAL {w} SECONDS"))
+    joined = l2.join(r2, cond, "inner").filter(exact)
+    keep = [l2[c] for c in left.columns] + [F.col(c) for c in out_names]
+    return joined.select(*keep)

@@ -1267,3 +1267,26 @@ SELECT doc_id,
        MAX(c) * 1.0 / CAST(SUM(c) AS BIGINT) AS top_bigram_frac
 FROM c GROUP BY doc_id
 """
+
+
+def range_count_events() -> str:
+    """Twin of the q_range_count_events binned interval join: DuckDB plays
+    the naive inequality join (semantically identical — binning only bounds
+    Spark's candidate set). Null-safe key equality mirrors eqNullSafe."""
+    return """
+WITH e AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+m AS (
+  SELECT e.event_id, COUNT(*) AS n,
+         SUM(CAST(r.value AS DECIMAL(18,4))) AS tv
+  FROM e JOIN events r
+    ON e.user_id IS NOT DISTINCT FROM r.user_id
+   AND r.ts > e.ts AND r.ts <= e.ts + INTERVAL 300 SECOND
+  GROUP BY e.event_id
+)
+SELECT e.event_id,
+       CAST(COALESCE(m.n, 0) AS BIGINT) AS n_follow,
+       CAST(COALESCE(m.tv, 0) AS DOUBLE) AS total_value
+FROM e LEFT JOIN m USING (event_id)
+"""
