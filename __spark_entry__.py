@@ -663,6 +663,18 @@ def q_range_count_events(spark, sf_dir):
     )
 
 
+def q_quality_top_fraction(spark, sf_dir):
+    from xoverrr_spark.operators.corpus import top_quality_fraction
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality_score")
+    )
+    return top_quality_fraction(
+        scored, "lang", "quality_score", oracle.TOP_QUALITY_FRAC
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     from xoverrr_spark.operators.repetition import repetition_stats
 
@@ -738,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines_documents": q_boilerplate_lines,
         "repetition_stats_documents": q_repetition_stats,
         "range_count_events": q_range_count_events,
+        "quality_top_fraction_documents": q_quality_top_fraction,
     }
 
 
@@ -800,4 +813,5 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_lines_documents": oracle.boilerplate_lines_documents(),
         "repetition_stats_documents": oracle.repetition_stats_documents(),
         "range_count_events": oracle.range_count_events(),
+        "quality_top_fraction_documents": oracle.quality_top_fraction_documents(),
     }

@@ -98,3 +98,56 @@ def test_value_outliers_flags_injected_anomaly(spark):
     got = value_outliers(df, "value", ["event_type"], 3.0, id_cols=["event_id"]).collect()
     assert [r["event_id"] for r in got] == [900]
     assert got[0]["z"] > 3.0
+
+
+# ------------------------------------------------ top-quality fraction ----
+
+def _scored_docs(spark):
+    from xoverrr_spark.functions.tokens import quality_score
+    from pyspark.sql import functions as F
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return d.select("doc_id", "lang",
+                    quality_score(F.col("text")).alias("score"))
+
+
+def test_top_quality_fraction_keeps_about_the_fraction(spark):
+    from xoverrr_spark.operators.corpus import top_quality_fraction
+    s = _scored_docs(spark)
+    per_lang = {r.lang: r for r in s.groupBy("lang").count().collect()}
+    kept = top_quality_fraction(s, "lang", "score", 0.3)
+    for r in kept.groupBy("lang").count().collect():
+        n = per_lang[r.lang]["count"]
+        # pr >= 0.7 keeps ~0.3*(n-1)+1 ranks; score ties can only ADD rows.
+        # Exactness is pinned by the DuckDB oracle — this is a sanity band.
+        assert int(0.3 * (n - 1)) <= r["count"] <= 0.45 * n + 1
+
+
+def test_top_quality_fraction_approx_matches_exact_closely(spark):
+    from xoverrr_spark.operators.corpus import (
+        top_quality_fraction, top_quality_fraction_approx)
+    s = _scored_docs(spark)
+    exact = {r.doc_id for r in
+             top_quality_fraction(s, "lang", "score", 0.3).collect()}
+    approx = {r.doc_id for r in
+              top_quality_fraction_approx(s, "lang", "score", 0.3).collect()}
+    inter = len(exact & approx)
+    assert inter / max(len(exact), 1) > 0.9
+    assert inter / max(len(approx), 1) > 0.9
+
+
+def test_top_quality_fraction_approx_plan_has_no_window(spark):
+    from xoverrr_spark.operators.corpus import top_quality_fraction_approx
+    s = _scored_docs(spark)
+    plan = top_quality_fraction_approx(s, "lang", "score", 0.3)._jdf\
+        .queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_top_quality_fraction_approx_null_group_kept(spark):
+    from pyspark.sql import functions as F
+    from xoverrr_spark.operators.corpus import top_quality_fraction_approx
+    s = _scored_docs(spark).withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, None).otherwise(F.col("lang")))
+    kept = top_quality_fraction_approx(s, "lang", "score", 0.5)
+    assert kept.filter("lang IS NULL").count() > 0

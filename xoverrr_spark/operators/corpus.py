@@ -162,3 +162,50 @@ def remove_boilerplate_lines(
         )
         .drop("_total_lines", "_kept_lines")
     )
+
+
+def top_quality_fraction(
+    df: DataFrame, group_col: str, score_col: str, keep_frac: float
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of rows per group by score — EXACT form
+    via percent_rank (kept iff pr >= 1 - keep_frac; score ties share a rank,
+    so the kept set is deterministic under any partitioning).
+
+    Scale caveat (same as cap_per_source): a window partition cannot be
+    split by AQE, so a dominant group (one language can be half a web
+    corpus) serializes on one task. Exact form is for moderate group sizes;
+    production uses ``top_quality_fraction_approx``.
+    """
+    w = Window.partitionBy(group_col).orderBy(score_col)
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") >= 1.0 - keep_frac)
+        .drop("_pr")
+    )
+
+
+def top_quality_fraction_approx(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    keep_frac: float,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Scale path of ``top_quality_fraction``: per-group approximate
+    quantile threshold (one aggregate over tiny per-group sketches,
+    map-side combined), broadcast back, per-row filter. No window — hot
+    groups stay fully parallel. The threshold join is NULL-SAFE: docs with
+    a null group form a real group (same discipline as cap_per_source_hash).
+
+    approx boundary: rows whose score ties the approximate quantile are all
+    kept (>= threshold), so the kept fraction can deviate by the sketch
+    error (1/accuracy) plus the tie mass.
+    """
+    th = df.groupBy(group_col).agg(
+        F.percentile_approx(score_col, 1.0 - keep_frac, accuracy).alias("_th")
+    ).withColumnRenamed(group_col, "_grp")
+    return (
+        df.join(F.broadcast(th), F.col(group_col).eqNullSafe(F.col("_grp")))
+        .filter(F.col(score_col) >= F.col("_th"))
+        .drop("_grp", "_th")
+    )

@@ -294,25 +294,54 @@ FROM documents
 """
 
 
-def quality_score_documents() -> str:
-    return r"""
-WITH f AS (
-  SELECT doc_id, text, length(text) AS n,
+# shared by quality_score_documents and quality_top_fraction_documents:
+# feature CTE + the score expression over its columns (n, wc, dwc, text)
+_QSCORE_F_CTE = r"""f AS (
+  SELECT doc_id, lang, text, length(text) AS n,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS wc,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) END AS dwc
   FROM documents
-)
-SELECT doc_id,
-       round((
+)"""
+
+_QSCORE_EXPR = r"""round((
          (CASE WHEN n = 0 THEN 0.0
                ELSE length(regexp_replace(text, '[^\pL]', '', 'g')) * 1.0 / n END) * 0.4
          + (CASE WHEN wc = 0 THEN 0.0 ELSE dwc * 1.0 / wc END) * 0.3
          + (CASE WHEN n >= 20 AND n <= 2000 THEN 1.0
                  WHEN n = 0 THEN 0.0 ELSE 0.5 END) * 0.3
-       ) * 100, 4) AS quality_score
+       ) * 100, 4)"""
+
+
+def quality_score_documents() -> str:
+    return f"""
+WITH {_QSCORE_F_CTE}
+SELECT doc_id, {_QSCORE_EXPR} AS quality_score
 FROM f
+"""
+
+
+# top-fraction filter: keep the best TOP_QUALITY_FRAC of docs per language
+TOP_QUALITY_FRAC = 0.3
+
+
+def quality_top_fraction_documents() -> str:
+    """Twin of corpus.top_quality_fraction over quality_score per lang:
+    PERCENT_RANK is (rank-1)/(n-1) in both engines — one int/int double
+    division, bit-identical."""
+    cut = repr(1.0 - TOP_QUALITY_FRAC)
+    return f"""
+WITH {_QSCORE_F_CTE},
+s AS (
+  SELECT doc_id, lang, {_QSCORE_EXPR} AS quality_score FROM f
+),
+r AS (
+  SELECT doc_id, lang, quality_score,
+         PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality_score) AS pr
+  FROM s
+)
+SELECT doc_id, lang, quality_score FROM r WHERE pr >= {cut}
 """
 
 
