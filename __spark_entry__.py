@@ -675,6 +675,15 @@ def q_quality_top_fraction(spark, sf_dir):
     )
 
 
+def q_mixture_sample(spark, sf_dir):
+    from xoverrr_spark.operators.corpus import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        d, oracle.MIXTURE_WEIGHTS, oracle.MIXTURE_TARGET_FRAC
+    ).select("doc_id", "source")
+
+
 def q_repetition_stats(spark, sf_dir):
     from xoverrr_spark.operators.repetition import repetition_stats
 
@@ -751,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats_documents": q_repetition_stats,
         "range_count_events": q_range_count_events,
         "quality_top_fraction_documents": q_quality_top_fraction,
+        "mixture_sample_documents": q_mixture_sample,
     }
 
 
@@ -814,4 +824,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats_documents": oracle.repetition_stats_documents(),
         "range_count_events": oracle.range_count_events(),
         "quality_top_fraction_documents": oracle.quality_top_fraction_documents(),
+        "mixture_sample_documents": oracle.mixture_sample_documents(),
     }

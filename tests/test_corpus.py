@@ -151,3 +151,42 @@ def test_top_quality_fraction_approx_null_group_kept(spark):
         "lang", F.when(F.col("doc_id") % 3 == 0, None).otherwise(F.col("lang")))
     kept = top_quality_fraction_approx(s, "lang", "score", 0.5)
     assert kept.filter("lang IS NULL").count() > 0
+
+
+# ------------------------------------------------------- mixture_sample ----
+
+def test_mixture_sample_recipe_math(spark):
+    from xoverrr_spark.operators.corpus import mixture_sample
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    total = d.count()
+    weights = {"src0": 0.5, "src3": 0.05}
+    got = mixture_sample(d, weights, 0.4)
+    by_src = {r.source: r["count"] for r in got.groupBy("source").count().collect()}
+    # unweighted sources are DROPPED (least(NULL,1.0)=1.0 trap is guarded)
+    assert set(by_src) <= set(weights)
+    n_src0 = d.filter("source='src0'").count()
+    # src0 rate = min(1, .5*.4*total/n) -> capped at 1: everything kept
+    assert by_src["src0"] == n_src0
+    # src3 rate 0.4: hash-threshold keeps ~40%, binomial-ish band
+    n3 = d.filter("source='src3'").count()
+    assert 0.15 * n3 <= by_src.get("src3", 0) <= 0.7 * n3
+
+
+def test_mixture_sample_deterministic_and_stable_under_repartition(spark):
+    from xoverrr_spark.operators.corpus import mixture_sample
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    w = {"src1": 0.6, "src2": 0.4}
+    a = {r.doc_id for r in mixture_sample(d, w, 0.3).collect()}
+    b = {r.doc_id for r in mixture_sample(d.repartition(13), w, 0.3).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_mixture_sample_corpus_never_shuffles(spark):
+    """The corpus side must reach the filter via a broadcast join — no
+    exchange of the full documents frame (the whole point of the hash-
+    threshold form)."""
+    from xoverrr_spark.operators.corpus import mixture_sample
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = mixture_sample(d, {"src0": 1.0}, 0.2)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan

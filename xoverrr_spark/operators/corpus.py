@@ -209,3 +209,64 @@ def top_quality_fraction_approx(
         .filter(F.col(score_col) >= F.col("_th"))
         .drop("_grp", "_th")
     )
+
+
+# hash-threshold resolution for mixture sampling (2^20 buckets: rate
+# granularity ~1e-6, and md5_long % 2^20 stays uniform)
+MIXTURE_BUCKETS = 1 << 20
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    target_frac: float,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dataset mixing: resample the corpus to ``target_frac`` of its size
+    with per-source mixture ``weights`` (the "data recipe" step of an LLM
+    training pipeline — e.g. 50% curated web, 20% code, ...).
+
+    Per-source sampling rate ``min(1, w_s * target_frac * total / n_s)``;
+    a source's rate caps at 1 (can't upsample — short sources under-fill
+    their slot rather than duplicating rows). Sources absent from
+    ``weights`` are dropped. Selection is a deterministic hash threshold
+    (``md5_long(id) mod 2^20 < floor(rate * 2^20)``): stable under
+    partitioning/retries, replayable in the DuckDB oracle.
+
+    Shape: one tiny per-source count aggregate (+unbounded window over
+    #sources rows), broadcast back, per-row predicate — no shuffle of the
+    corpus itself, hot sources stay fully parallel.
+
+    Float determinism: per-source ``w*frac`` is folded to a Python literal;
+    the remaining ops (*total, /n, min, *2^20, floor) run in one fixed
+    order in both engines, so thresholds are bit-identical.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    counts = counts.withColumn(
+        "_total", F.sum("_n").over(Window.partitionBy())
+    )
+    wf: Column = F.lit(None).cast("double")
+    for s, w in weights.items():
+        wf = F.when(F.col(source_col) == s, F.lit(w * target_frac)).otherwise(wf)
+    # least() IGNORES nulls in both Spark and DuckDB (least(NULL, 1.0) =
+    # 1.0), so an unweighted source would silently get rate 1.0 — guard the
+    # null BEFORE the min, and mirror the guard in the oracle
+    th = counts.select(
+        F.col(source_col).alias("_src"),
+        F.when(
+            wf.isNotNull(),
+            F.floor(
+                F.least(wf * F.col("_total") / F.col("_n"), F.lit(1.0))
+                * F.lit(float(MIXTURE_BUCKETS))
+            ).cast("bigint"),
+        ).alias("_th"),
+    ).filter(F.col("_th").isNotNull())
+    return (
+        df.join(F.broadcast(th), F.col(source_col).eqNullSafe(F.col("_src")))
+        .filter(
+            F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(MIXTURE_BUCKETS))
+            < F.col("_th")
+        )
+        .drop("_src", "_th")
+    )

@@ -1319,3 +1319,41 @@ SELECT e.event_id,
        CAST(COALESCE(m.tv, 0) AS DOUBLE) AS total_value
 FROM e LEFT JOIN m USING (event_id)
 """
+
+
+# mixture-sampling recipe for the mixture_sample_documents query
+MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.2, "src2": 0.2, "src3": 0.05, "src4": 0.05}
+MIXTURE_TARGET_FRAC = 0.4
+
+
+def mixture_sample_documents() -> str:
+    """Twin of corpus.mixture_sample: w*frac folded to repr() literals so
+    both engines run the identical (literal * total) / n -> min -> *2^20
+    -> floor chain (same policy as the LSH plane folds)."""
+    from xoverrr_spark.operators.corpus import MIXTURE_BUCKETS
+
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {w * MIXTURE_TARGET_FRAC!r}"
+        for s, w in MIXTURE_WEIGHTS.items()
+    )
+    b = float(MIXTURE_BUCKETS)
+    return f"""
+WITH c AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+ct AS (
+  SELECT source, n, SUM(n) OVER () AS total FROM c
+),
+th AS (
+  SELECT source,
+         CASE WHEN (CASE {cases} ELSE NULL END) IS NULL THEN NULL
+              ELSE CAST(floor(LEAST((CASE {cases} ELSE NULL END) * total / n, 1.0)
+                         * {b!r}) AS BIGINT) END AS th
+  FROM ct
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN th ON d.source IS NOT DISTINCT FROM th.source
+WHERE th.th IS NOT NULL
+  AND (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT)
+      % {MIXTURE_BUCKETS} < th.th
+"""
