@@ -684,6 +684,14 @@ def q_mixture_sample(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def q_pack_documents(spark, sf_dir):
+    from xoverrr_spark.operators.corpus import pack_documents
+
+    return pack_documents(
+        _t(spark, sf_dir, "documents"), oracle.PACK_BUDGET_TOKENS
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     from xoverrr_spark.operators.repetition import repetition_stats
 
@@ -761,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_count_events": q_range_count_events,
         "quality_top_fraction_documents": q_quality_top_fraction,
         "mixture_sample_documents": q_mixture_sample,
+        "pack_documents": q_pack_documents,
     }
 
 
@@ -825,4 +834,5 @@ def oracle_sql() -> dict[str, str]:
         "range_count_events": oracle.range_count_events(),
         "quality_top_fraction_documents": oracle.quality_top_fraction_documents(),
         "mixture_sample_documents": oracle.mixture_sample_documents(),
+        "pack_documents": oracle.pack_documents(),
     }

@@ -190,3 +190,47 @@ def test_mixture_sample_corpus_never_shuffles(spark):
     plan = mixture_sample(d, {"src0": 1.0}, 0.2)._jdf.queryExecution()\
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+# -------------------------------------------------------- pack_documents ----
+
+def test_pack_documents_contiguous_budget_semantics(spark):
+    from xoverrr_spark.operators.corpus import pack_documents
+    rows = [(i, "s", "w " * 10) for i in range(10)]  # 10 tokens each
+    d = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    got = {r.doc_id: r.pack_id for r in pack_documents(d, 25).collect()}
+    # cum_before: 0,10,20,30,... -> floor(/25): 0,0,0,1,1,2,2,2,3,3
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2, 8: 3, 9: 3}
+
+
+def test_pack_documents_pack_fill_property(spark):
+    """Every pack except a group's last fills to >= budget - (max_doc - 1)
+    tokens (a doc straddling far past a boundary eats into the next pack's
+    range — that overshoot is bounded by the largest doc); ids inside a
+    pack are contiguous."""
+    from pyspark.sql import functions as F
+    from xoverrr_spark.operators.corpus import pack_documents
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assigned = pack_documents(d, 256)
+    maxdoc = {r.source: r.m for r in
+              assigned.groupBy("source").agg(F.max("n_tokens").alias("m")).collect()}
+    packs = (
+        assigned
+        .groupBy("source", "pack_id")
+        .agg(F.sum("n_tokens").alias("tok"), F.min("doc_id").alias("lo"),
+             F.max("doc_id").alias("hi"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    last = {}
+    for p in packs:
+        last[p.source] = max(last.get(p.source, -1), p.pack_id)
+    for p in packs:
+        if p.pack_id != last[p.source]:
+            assert p.tok >= 256 - (maxdoc[p.source] - 1), p
+    # contiguity: within a source, doc_id ranges of packs don't interleave
+    by_src = {}
+    for p in sorted(packs, key=lambda r: (r.source, r.pack_id)):
+        prev = by_src.get(p.source)
+        if prev is not None:
+            assert p.lo > prev
+        by_src[p.source] = p.hi

@@ -270,3 +270,44 @@ def mixture_sample(
         )
         .drop("_src", "_th")
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing: assign docs to contiguous token-budget packs — the
+    "fill each training context window" step of an LLM data pipeline.
+
+    Deterministic contiguous form (the scalable standard, not exact bin
+    packing, which is inherently sequential): within each group ordered by
+    id, ``pack_id = floor(tokens_before_me / budget)``. Packs fill to at
+    least ``budget`` before a new one starts; the doc straddling a boundary
+    belongs to the pack its prefix started in (training loaders truncate or
+    roll the remainder). One running-sum window per group — the same
+    skew caveat as cap_per_source: a dominant group serializes, so group by
+    something with bounded cardinality-per-group (source/shard), not the
+    whole corpus.
+
+    Returns (id_col, group_col, n_tokens, pack_id).
+    """
+    from ..functions.tokens import ws_token_count
+
+    toks = df.select(
+        F.col(id_col), F.col(group_col),
+        ws_token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return toks.select(
+        id_col, group_col, "n_tokens",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget_tokens)
+        ).cast("bigint").alias("pack_id"),
+    )

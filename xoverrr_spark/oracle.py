@@ -1357,3 +1357,26 @@ WHERE th.th IS NOT NULL
   AND (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT)
       % {MIXTURE_BUCKETS} < th.th
 """
+
+
+PACK_BUDGET_TOKENS = 256
+
+
+def pack_documents() -> str:
+    """Twin of corpus.pack_documents: running-sum window (rows between
+    unbounded preceding and 1 preceding) -> floor(cum/budget). Integer /
+    in both engines is double division; floor of exact ints is exact."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {PACK_BUDGET_TOKENS}) AS BIGINT) AS pack_id
+FROM t
+"""
