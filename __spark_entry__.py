@@ -684,6 +684,55 @@ def q_mixture_sample(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Ingestion-time dedup of a derived new batch (1/3 exact copies, 1/3
+    appended-token near-dups, 1/3 fresh) against the documents corpus."""
+    from xoverrr_spark.functions.tokens import fingerprint as _fp
+    from xoverrr_spark.operators.dedup import (
+        fingerprint_index,
+        incremental_near_dups,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    mod3 = F.col("doc_id") % 3
+    new = d.select(
+        (F.col("doc_id") + oracle.INCR_ID_OFFSET).alias("doc_id"),
+        F.when(mod3 == 0, F.col("text"))
+        .when(mod3 == 1, F.concat(F.col("text"), F.lit(" " + oracle.INCR_NEAR_TAIL)))
+        .otherwise(
+            F.concat(
+                F.lit(oracle.INCR_FRESH_PREFIX),
+                F.col("doc_id").cast("string"),
+                F.lit(oracle.INCR_FRESH_SUFFIX),
+            )
+        )
+        .alias("text"),
+    )
+    fps = fingerprint_index(d, "doc_id", "text")
+    sentinel = F.lit("\x00<null-text>")
+    nfp = new.withColumn("text_fp", F.coalesce(_fp(F.col("text")), sentinel))
+    exact_ids = nfp.join(fps, "text_fp", "left_semi").select("doc_id")
+    nonexact = new.join(exact_ids, "doc_id", "left_anti")
+    near_ids = (
+        incremental_near_dups(
+            nonexact, d, "doc_id", "text", jaccard_threshold=oracle.INCR_JACCARD
+        )
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        new.join(exact_ids.withColumn("_e", F.lit(True)), "doc_id", "left")
+        .join(near_ids.withColumn("_n", F.lit(True)), "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("new_id"),
+            F.when(F.col("_e"), "exact_dup")
+            .when(F.col("_n"), "near_dup")
+            .otherwise("fresh")
+            .alias("status"),
+        )
+    )
+
+
 def q_pack_documents(spark, sf_dir):
     from xoverrr_spark.operators.corpus import pack_documents
 
@@ -770,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_top_fraction_documents": q_quality_top_fraction,
         "mixture_sample_documents": q_mixture_sample,
         "pack_documents": q_pack_documents,
+        "incremental_dedup_documents": q_incremental_dedup,
     }
 
 
@@ -835,4 +885,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_top_fraction_documents": oracle.quality_top_fraction_documents(),
         "mixture_sample_documents": oracle.mixture_sample_documents(),
         "pack_documents": oracle.pack_documents(),
+        "incremental_dedup_documents": oracle.incremental_dedup_documents(),
     }

@@ -506,3 +506,61 @@ def test_embedding_bucket_stats_counts_all_vectors(spark):
     # every vector lands in exactly one bucket per band
     per_band = buckets.groupBy("band").count().collect()
     assert all(r["count"] == n for r in per_band)
+
+
+# ------------------------------------------------- incremental ingestion ----
+
+def test_incremental_exact_dedup_vs_corpus_and_within_batch(spark):
+    from xoverrr_spark.operators.dedup import (
+        fingerprint_index, incremental_exact_dedup)
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta text here"), (3, None)],
+        "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(100, "alpha beta gamma"),   # exact dup of corpus (dropped)
+         (101, "ALPHA  beta gamma "), # canonical-form dup too (dropped)
+         (102, "brand new content"),  # fresh (kept)
+         (103, "brand new content"),  # within-batch dup of 102 (dropped)
+         (104, None),                 # null text: dup of corpus null group
+         (105, "another fresh doc")],
+        "doc_id bigint, text string")
+    fps = fingerprint_index(corpus, "doc_id", "text")
+    kept = sorted(r.doc_id for r in
+                  incremental_exact_dedup(new, fps, "doc_id", "text").collect())
+    assert kept == [102, 105]
+
+
+def test_incremental_exact_dedup_null_text_fresh_when_corpus_has_none(spark):
+    from xoverrr_spark.operators.dedup import (
+        fingerprint_index, incremental_exact_dedup)
+    corpus = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    new = spark.createDataFrame([(100, None), (101, None)],
+                                "doc_id bigint, text string")
+    kept = sorted(r.doc_id for r in incremental_exact_dedup(
+        new, fingerprint_index(corpus, "doc_id", "text"),
+        "doc_id", "text").collect())
+    # no null-text group in the corpus: ONE null-text survivor (min id)
+    assert kept == [100]
+
+
+def test_incremental_near_dups_finds_cross_table_pairs_only(spark):
+    from xoverrr_spark.operators.dedup import (
+        incremental_near_dups, release_intermediates)
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame(
+        [(i, base + f" tail{i}") for i in range(3)] +
+        [(10, "completely different corpus entry about spark plans")],
+        "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(100, base + " tail0 extra"),       # near-dups corpus doc 0 (at least)
+         (101, "utterly unrelated new doc about benchmarking engines")],
+        "doc_id bigint, text string")
+    got = incremental_near_dups(new, corpus, "doc_id", "text",
+                                jaccard_threshold=0.6)
+    rows = got.collect()
+    release_intermediates(got)
+    assert all(r.new_id >= 100 and r.corpus_id < 100 for r in rows)
+    assert any(r.new_id == 100 and r.corpus_id == 0 for r in rows)
+    assert not any(r.new_id == 101 for r in rows)
+    for r in rows:
+        assert 0.6 <= r.jaccard <= 1.0

@@ -618,3 +618,108 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         sim = term if sim is None else sim + term
     return agged.select("doc_id", sim.alias("simhash"))
+
+
+# -------------------------------------------------- incremental ingestion ----
+
+def fingerprint_index(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(text_fp) distinct fingerprint index of a corpus — the small table an
+    ingestion pipeline PERSISTS between batches so incremental exact dedup
+    never rescans the corpus (at 100 TB the index is the only thing you can
+    afford to touch per batch). Null texts map to the same sentinel as
+    exact_dedup, so a null-text new doc is recognized as a dup of the
+    corpus's null-text group."""
+    null_fp = F.lit("\x00<null-text>")
+    return corpus.select(
+        F.coalesce(fingerprint(F.col(text_col)), null_fp).alias("text_fp")
+    ).distinct()
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame, corpus_fps: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Ingestion-time exact dedup: new-batch docs that survive BOTH checks —
+    not byte-identical (canonical-form fingerprint) to any corpus doc
+    (anti-join against the fingerprint index), nor to an earlier new-batch
+    doc (min-id within batch).
+
+    Shapes: the anti-join shuffles the (small) batch and the fp index —
+    the corpus itself is never read; within-batch dedup is the same
+    min-id-per-fingerprint groupBy as exact_dedup. Null-safe throughout via
+    the shared sentinel.
+    """
+    null_fp = F.lit("\x00<null-text>")
+    fp = new_docs.withColumn(
+        "text_fp", F.coalesce(fingerprint(F.col(text_col)), null_fp)
+    )
+    fresh = fp.join(corpus_fps, "text_fp", "left_anti")
+    keep = fresh.groupBy("text_fp").agg(F.min(id_col).alias(id_col))
+    return fresh.join(keep, [id_col, "text_fp"], "left_semi").drop("text_fp")
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Ingestion-time near-dup detection: (new_id, corpus_id, jaccard) pairs
+    where a NEW doc near-duplicates an EXISTING corpus doc — the two-table
+    variant of ``minhash_near_dups``.
+
+    The corpus side is NEVER self-joined: corpus band buckets join only
+    against the (small) new-batch bucket table, so cost is
+    O(corpus scan + batch×bucket-hits), not O(corpus²). The bucket cap
+    applies to the CORPUS side of each bucket (a degenerate corpus bucket
+    is exact-dup territory upstream); audit with ``bucket_size_stats``.
+
+    The corpus is scanned twice (signature pass + verify-shingle pass
+    restricted by semi-join) — a production pipeline persists the corpus
+    signature/shingle tables between batches and passes them via the
+    ``corpus_sigs``/``corpus_shingles`` parameters instead.
+    """
+    new_sh = shingle_table(new_docs, id_col, text_col, shingle_n).persist()
+    new_buckets = _lsh_buckets(
+        minhash_signature_from_shingles(new_sh, num_hashes), num_hashes, bands
+    ).persist()
+
+    corpus_sh = shingle_table(corpus, id_col, text_col, shingle_n)
+    corpus_buckets = _cap_buckets(
+        _lsh_buckets(
+            minhash_signature_from_shingles(corpus_sh, num_hashes),
+            num_hashes, bands,
+        ),
+        max_bucket_size,
+    )
+    nb = new_buckets.select(
+        F.col("doc_id").alias("new_id"), "band", "bkey"
+    )
+    cb = corpus_buckets.select(
+        F.col("doc_id").alias("corpus_id"), "band", "bkey"
+    )
+    cands = (
+        nb.join(cb, ["band", "bkey"])
+        .select(F.col("new_id").alias("doc_a"), F.col("corpus_id").alias("doc_b"))
+        .distinct()
+        .persist()
+    )
+    # verify over ONE shingle universe (new persisted + corpus lazy —
+    # that's the second corpus pass); ids must not collide across tables
+    j = candidate_jaccard(
+        new_docs, id_col, text_col, cands, shingle_n,
+        shingles=new_sh.unionByName(corpus_sh),
+    )
+    out = (
+        j.filter(F.col("jaccard") >= jaccard_threshold)
+        .select(
+            F.col("doc_a").alias("new_id"),
+            F.col("doc_b").alias("corpus_id"),
+            "jaccard",
+        )
+    )
+    return _attach_intermediates(out, [new_sh, new_buckets, cands])

@@ -1380,3 +1380,104 @@ SELECT doc_id, source, n_tokens,
             / {PACK_BUDGET_TOKENS}) AS BIGINT) AS pack_id
 FROM t
 """
+
+
+# incremental-ingestion dedup: the derived new batch (1/3 exact copies,
+# 1/3 appended-token near-dups, 1/3 fresh docs)
+INCR_NEAR_TAIL = "zqx zqy"
+INCR_FRESH_PREFIX = "totally fresh item "
+INCR_FRESH_SUFFIX = " nothing shared here"
+INCR_ID_OFFSET = 1000000
+INCR_JACCARD = 0.7
+
+
+def _shingles_sql(table: str, tag: str) -> str:
+    """Parameterized twin of _SHINGLES_CTE over an arbitrary CTE/table."""
+    return rf"""
+w{tag} AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words FROM {table}),
+sh0{tag} AS (
+  SELECT w.doc_id,
+         CASE WHEN len(w.words) >= 3 THEN array_to_string(w.words[g.i:g.i+2], ' ')
+              ELSE array_to_string(w.words, ' ') END AS shingle
+  FROM w{tag} w, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(w.words) - 2, 1))) AS i) g
+),
+sh{tag} AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 10))::BIGINT AS x FROM sh0{tag})"""
+
+
+def incremental_dedup_documents(num_hashes: int = 16, bands: int = 4) -> str:
+    """Twin of q_incremental_dedup: per new-batch doc, exact_dup (canonical
+    fingerprint in the corpus index) / near_dup (capped corpus-side LSH
+    candidates verified with candidate-restricted Jaccard >= 0.7) / fresh.
+    Same affine MinHash + banding math as minhash_near_dups_documents,
+    played across TWO tables (new batch never self-joins, corpus never
+    self-joins)."""
+    rows = num_hashes // bands
+    mins = ",\n       ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_MOD}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+
+    def _bands(sig: str) -> str:
+        sel = []
+        for b in range(bands):
+            cols = ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+            sel.append(
+                f"SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS bkey FROM {sig}"
+            )
+        return "\n  UNION ALL\n  ".join(sel)
+
+    fp = r"COALESCE(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), chr(0) || '<null-text>')"
+    return f"""
+WITH newd AS (
+  SELECT doc_id + {INCR_ID_OFFSET} AS doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN text
+           WHEN 1 THEN text || ' {INCR_NEAR_TAIL}'
+           ELSE '{INCR_FRESH_PREFIX}' || CAST(doc_id AS VARCHAR) || '{INCR_FRESH_SUFFIX}'
+         END AS text
+  FROM documents
+),
+cfp AS (SELECT DISTINCT {fp} AS fpv FROM documents),
+nfp AS (SELECT doc_id, {fp} AS fpv FROM newd),
+exact AS (SELECT n.doc_id FROM nfp n SEMI JOIN cfp c ON n.fpv = c.fpv),
+nonexact AS (SELECT d.* FROM newd d ANTI JOIN exact e USING (doc_id)),
+{_shingles_sql('nonexact', 'n').strip()},
+{_shingles_sql('documents', 'c').strip()},
+sign AS (SELECT doc_id, {mins} FROM shn GROUP BY doc_id),
+sigc AS (SELECT doc_id, {mins} FROM shc GROUP BY doc_id),
+bn AS (
+  {_bands('sign')}
+),
+bc0 AS (
+  {_bands('sigc')}
+),
+ok AS (SELECT band, bkey FROM bc0 GROUP BY band, bkey
+       HAVING COUNT(*) <= {DEFAULT_MAX_BUCKET}),
+bc AS (SELECT b.* FROM bc0 b SEMI JOIN ok USING (band, bkey)),
+cands AS (
+  SELECT DISTINCT n.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bn n JOIN bc c ON n.band = c.band AND n.bkey = c.bkey
+),
+szn AS (SELECT doc_id, COUNT(*) AS sz FROM shn GROUP BY doc_id),
+szc AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cands c
+  JOIN shn a ON a.doc_id = c.doc_a
+  JOIN shc b ON b.doc_id = c.doc_b AND b.x = a.x
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT DISTINCT i.doc_a AS doc_id
+  FROM inter i JOIN szn sa ON sa.doc_id = i.doc_a
+  JOIN szc sb ON sb.doc_id = i.doc_b
+  WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= {INCR_JACCARD}
+)
+SELECT d.doc_id AS new_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'fresh' END AS status
+FROM newd d
+LEFT JOIN exact e ON e.doc_id = d.doc_id
+LEFT JOIN near nr ON nr.doc_id = d.doc_id
+"""
