@@ -396,6 +396,14 @@ def q_decontaminate(spark, sf_dir):
     return contaminated_docs(d, bench, "doc_id", "text")
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    from xoverrr_spark.operators.dedup import bloom_contaminated_docs
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % oracle.DECONTAM_BENCH_MOD == 0)
+    return bloom_contaminated_docs(d, bench, "doc_id", "text")
+
+
 def q_cluster_survivors(spark, sf_dir):
     from xoverrr_spark.operators.dedup import (
         cluster_near_dups,
@@ -820,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_documents": q_mixture_sample,
         "pack_documents": q_pack_documents,
         "incremental_dedup_documents": q_incremental_dedup,
+        "bloom_decontaminate_documents": q_bloom_decontaminate,
     }
 
 
@@ -886,4 +895,5 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample_documents": oracle.mixture_sample_documents(),
         "pack_documents": oracle.pack_documents(),
         "incremental_dedup_documents": oracle.incremental_dedup_documents(),
+        "bloom_decontaminate_documents": oracle.bloom_decontaminate_documents(),
     }

@@ -564,3 +564,41 @@ def test_incremental_near_dups_finds_cross_table_pairs_only(spark):
     assert not any(r.new_id == 101 for r in rows)
     for r in rows:
         assert 0.6 <= r.jaccard <= 1.0
+
+
+# ------------------------------------------------- bloom decontamination ----
+
+def test_bloom_decontaminate_never_misses_exact_hits(spark):
+    """Bloom guarantees no false negatives: flagged ⊇ exact at any m."""
+    from pyspark.sql import functions as F
+    from xoverrr_spark.operators.dedup import (
+        bloom_contaminated_docs, contaminated_docs)
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    exact = {r.doc_id for r in
+             contaminated_docs(d, bench, "doc_id", "text").collect()}
+    bloom = {r.doc_id for r in
+             bloom_contaminated_docs(d, bench, "doc_id", "text").collect()}
+    assert exact <= bloom
+    # at the default 2^20 bits and this tiny benchmark, FPs should be rare
+    assert len(bloom - exact) <= max(2, len(exact) // 10)
+
+
+def test_bloom_decontaminate_small_m_floods_false_positives(spark):
+    """Shrinking m to 64 bits saturates the filter — flagged set grows
+    toward the whole corpus while still containing every true hit (the
+    FP-rate/broadcast-size dial, made visible)."""
+    from pyspark.sql import functions as F
+    from xoverrr_spark.operators.dedup import (
+        bloom_contaminated_docs, contaminated_docs)
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    exact = {r.doc_id for r in
+             contaminated_docs(d, bench, "doc_id", "text").collect()}
+    tiny = {r.doc_id for r in
+            bloom_contaminated_docs(d, bench, "doc_id", "text",
+                                    m_bits=64).collect()}
+    assert exact <= tiny
+    # 64 bits vs ~1.5k benchmark shingles: the filter saturates and flags
+    # essentially the whole corpus
+    assert len(tiny) >= 0.95 * d.count() > len(exact)

@@ -723,3 +723,73 @@ def incremental_near_dups(
         )
     )
     return _attach_intermediates(out, [new_sh, new_buckets, cands])
+
+
+# ------------------------------------------------- bloom decontamination ----
+
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 3
+BLOOM_SEED = 7654321
+
+
+def bloom_contaminated_docs(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    seed: int = BLOOM_SEED,
+) -> DataFrame:
+    """Bloom-filter variant of ``contaminated_docs`` — the scale path when
+    the benchmark's exact shingle set outgrows a broadcast.
+
+    ``contaminated_docs`` broadcasts the benchmark's distinct shingles:
+    unbounded in benchmark size. Here the benchmark is folded into a Bloom
+    filter — k affine positions mod ``m_bits`` per shingle — whose distinct
+    set-bit table is BOUNDED at m_bits rows (8·m bytes worst case, ~8 MB at
+    the default) no matter how many shingles the benchmark holds. A corpus
+    shingle is flagged iff ALL its k positions are set (classic Bloom
+    semantics: no false negatives, FP rate ~(1-e^{-kn/m})^k, deterministic
+    given the affine family — the DuckDB oracle replays it bit-for-bit, so
+    even the false positives are verified values, not noise).
+
+    Duplicate positions within one shingle's k hashes are collapsed
+    (array_distinct) BEFORE the hit count, else a shingle whose p_i collide
+    could reach the count with fewer distinct matches than positions.
+
+    Same corpus shape as the exact form: one pass, broadcast semi-join,
+    only surviving (doc, shingle) keys aggregate.
+    """
+    params = minhash_params(k, seed)
+
+    def positions(x):
+        return F.array_distinct(
+            F.array(
+                *[
+                    ((F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_MOD)) % F.lit(m_bits)
+                    for a, b in params
+                ]
+            )
+        )
+
+    bench_pos = (
+        shingle_table(benchmark, id_col, text_col, shingle_n)
+        .select(F.explode(positions(F.col("shingle_hash"))).alias("pos"))
+        .distinct()
+    )
+    doc_sh = shingle_table(df, id_col, text_col, shingle_n)
+    dx = doc_sh.select(
+        "doc_id",
+        "shingle_hash",
+        F.size(positions(F.col("shingle_hash"))).alias("_npos"),
+        F.explode(positions(F.col("shingle_hash"))).alias("pos"),
+    )
+    hits = (
+        dx.join(F.broadcast(bench_pos), "pos", "left_semi")
+        .groupBy("doc_id", "shingle_hash", "_npos")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == F.col("_npos"))
+    )
+    return hits.select("doc_id").distinct()

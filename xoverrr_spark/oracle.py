@@ -1481,3 +1481,35 @@ FROM newd d
 LEFT JOIN exact e ON e.doc_id = d.doc_id
 LEFT JOIN near nr ON nr.doc_id = d.doc_id
 """
+
+
+def bloom_decontaminate_documents() -> str:
+    """Twin of dedup.bloom_contaminated_docs with the same synthetic
+    benchmark (doc_id % DECONTAM_BENCH_MOD == 0): affine Bloom positions
+    mod 2^20, a shingle hits iff ALL its distinct positions are set — even
+    false positives replay exactly."""
+    from xoverrr_spark.operators.dedup import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        BLOOM_SEED,
+    )
+
+    parms = minhash_params(BLOOM_K, BLOOM_SEED)
+    pos_list = ", ".join(
+        f"(({a} * x + {b}) % {MINHASH_MOD}) % {BLOOM_M_BITS}" for a, b in parms
+    )
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+bench AS (SELECT DISTINCT x FROM sh WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+bpos AS (SELECT DISTINCT unnest(list_distinct([{pos_list}])) AS pos FROM bench),
+dpos AS (SELECT doc_id, x, list_distinct([{pos_list}]) AS pl FROM sh),
+dx AS (
+  SELECT doc_id, x, len(pl) AS npos, unnest(pl) AS pos FROM dpos
+),
+hits AS (
+  SELECT d.doc_id, d.x, d.npos, COUNT(*) AS hit
+  FROM dx d SEMI JOIN bpos b ON d.pos = b.pos
+  GROUP BY 1, 2, 3
+)
+SELECT DISTINCT doc_id FROM hits WHERE hit = npos
+"""
