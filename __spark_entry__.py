@@ -396,6 +396,32 @@ def q_decontaminate(spark, sf_dir):
     return contaminated_docs(d, bench, "doc_id", "text")
 
 
+def q_apply_changes(spark, sf_dir):
+    """CDC merge of a derived change feed (updates %5, deletes %7,
+    inserts %11 offset) into orders — single-shuffle window merge."""
+    from xoverrr_spark.operators.merge import apply_changes
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    upd = (
+        o.filter((k % oracle.MERGE_UPD_MOD == 0) | (k % oracle.MERGE_DEL_MOD == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        .withColumn(
+            "op",
+            F.when(k % oracle.MERGE_DEL_MOD == 0, F.lit("D")).otherwise(F.lit("U")),
+        )
+    )
+    ins = (
+        o.filter(k % oracle.MERGE_INS_MOD == 0)
+        .withColumn("o_orderkey", k + oracle.MERGE_INS_OFFSET)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("op", F.lit("U"))
+    )
+    return apply_changes(
+        o, upd.unionByName(ins), ["o_orderkey"], op_col="op"
+    )
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     from xoverrr_spark.operators.dedup import bloom_contaminated_docs
 
@@ -829,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "incremental_dedup_documents": q_incremental_dedup,
         "bloom_decontaminate_documents": q_bloom_decontaminate,
+        "apply_changes_orders": q_apply_changes,
     }
 
 
@@ -896,4 +923,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_documents": oracle.pack_documents(),
         "incremental_dedup_documents": oracle.incremental_dedup_documents(),
         "bloom_decontaminate_documents": oracle.bloom_decontaminate_documents(),
+        "apply_changes_orders": oracle.apply_changes_orders(),
     }

@@ -1513,3 +1513,34 @@ hits AS (
 )
 SELECT DISTINCT doc_id FROM hits WHERE hit = npos
 """
+
+
+# apply_changes (CDC merge) derivation constants
+MERGE_UPD_MOD = 5      # updated keys: +1000 total price
+MERGE_DEL_MOD = 7      # deleted keys (delete wins over update)
+MERGE_INS_MOD = 11     # inserted keys: o_orderkey + MERGE_INS_OFFSET
+MERGE_INS_OFFSET = 10000000
+
+
+def apply_changes_orders() -> str:
+    """Twin of merge.apply_changes over a derived change feed: since the
+    feed has exactly one change row per key, the window formulation
+    collapses to 'non-delete changes UNION base rows with no change'."""
+    return f"""
+WITH ch AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 1000 AS o_totalprice, o_orderdate, o_orderpriority,
+         CASE WHEN o_orderkey % {MERGE_DEL_MOD} = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders
+  WHERE o_orderkey % {MERGE_UPD_MOD} = 0 OR o_orderkey % {MERGE_DEL_MOD} = 0
+  UNION ALL
+  SELECT o_orderkey + {MERGE_INS_OFFSET}, o_custkey, 'N', o_totalprice,
+         o_orderdate, o_orderpriority, 'U'
+  FROM orders WHERE o_orderkey % {MERGE_INS_MOD} = 0
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM ch WHERE op <> 'D'
+UNION ALL
+SELECT b.* FROM orders b ANTI JOIN ch ON b.o_orderkey = ch.o_orderkey
+"""
