@@ -185,3 +185,35 @@ def test_null_source_docs_survive_hash_cap_and_source_filter(spark):
     kept = filter_low_quality_sources(d, rates, min_keep_pct=10.0)
     got = sorted(r["doc_id"] for r in kept.collect())
     assert got == [0, 1, 2, 3, 4, 5]  # null group passes, siteA dropped
+
+
+def test_range_join_rejects_reserved_bin_column(spark):
+    from datetime import datetime as dt
+    import pytest
+    from xoverrr_spark.operators.timeseries import range_join
+    L = spark.createDataFrame([(1, 1, dt(2024, 1, 1), 0)],
+                              "lid bigint, k bigint, ts timestamp, _bin int")
+    R = spark.createDataFrame([(2, 1, dt(2024, 1, 1))],
+                              "rid bigint, k bigint, ts timestamp")
+    with pytest.raises(ValueError, match="_bin"):
+        range_join(L, R, ["k"], "ts", "ts", ["rid"], 60)
+
+
+def test_pack_documents_rejects_nonpositive_budget(spark):
+    import pytest
+    from xoverrr_spark.operators.corpus import pack_documents
+    d = spark.createDataFrame([(1, "s", "a b")], "doc_id int, source string, text string")
+    with pytest.raises(ValueError, match="budget"):
+        pack_documents(d, 0)
+
+
+def test_repetition_stats_null_and_unicode_ws_consistency(spark):
+    """Null text excluded; NBSP is NOT a separator for Java regex \\s
+    (ASCII), matching the RE2 oracle — 'a\\u00a0b a\\u00a0b' is ONE
+    repeated word, 1 bigram."""
+    from xoverrr_spark.operators.repetition import repetition_stats
+    d = spark.createDataFrame(
+        [(1, None), (2, "a\u00a0b a\u00a0b")], "doc_id bigint, text string")
+    rows = repetition_stats(d).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 2
+    assert rows[0].n_bigrams == 1 and rows[0].top_count == 1

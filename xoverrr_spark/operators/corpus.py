@@ -296,6 +296,8 @@ def pack_documents(
     """
     from ..functions.tokens import ws_token_count
 
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
     toks = df.select(
         F.col(id_col), F.col(group_col),
         ws_token_count(F.col(text_col)).alias("n_tokens"),

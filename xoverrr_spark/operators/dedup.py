@@ -762,6 +762,8 @@ def bloom_contaminated_docs(
     Same corpus shape as the exact form: one pass, broadcast semi-join,
     only surviving (doc, shingle) keys aggregate.
     """
+    if m_bits <= 0 or k <= 0:
+        raise ValueError("m_bits and k must be positive")
     params = minhash_params(k, seed)
 
     def positions(x):

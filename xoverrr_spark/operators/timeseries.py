@@ -152,6 +152,10 @@ def range_join(
     w = int(window_seconds)
     if w <= 0:
         raise ValueError("window_seconds must be positive")
+    if "_bin" in left.columns:
+        # withColumn would silently OVERWRITE it with the candidate bin and
+        # the output would carry the internal value under the user's name
+        raise ValueError("left side already has a column named '_bin'")
     lbin = _epoch_bin(F.col(left_ts), w)
     l2 = left.withColumn("_bin", F.explode(F.array(lbin, lbin + 1)))
     r2 = right.select(
