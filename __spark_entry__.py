@@ -315,6 +315,27 @@ def q_profile_orders(spark, sf_dir):
     return profile(_t(spark, sf_dir, "orders"), oracle.PROFILE_ORDERS_COLS)
 
 
+def q_profile_drift(spark, sf_dir):
+    from xoverrr_spark.operators.profile import profile_drift
+
+    src = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    trg = (
+        src.filter(k % 97 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(k % 101 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(k % oracle.DRIFT_NULL_MOD == 0, F.lit(None)).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+    )
+    return profile_drift(src, trg, oracle.PROFILE_ORDERS_COLS)
+
+
 def q_session_stats(spark, sf_dir):
     from xoverrr_spark.operators.counts import session_stats
 
@@ -856,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_documents": q_incremental_dedup,
         "bloom_decontaminate_documents": q_bloom_decontaminate,
         "apply_changes_orders": q_apply_changes,
+        "profile_drift_orders": q_profile_drift,
     }
 
 
@@ -924,4 +946,5 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup_documents": oracle.incremental_dedup_documents(),
         "bloom_decontaminate_documents": oracle.bloom_decontaminate_documents(),
         "apply_changes_orders": oracle.apply_changes_orders(),
+        "profile_drift_orders": oracle.profile_drift_orders(),
     }

@@ -34,3 +34,29 @@ def test_approx_profile_close_to_exact(spark):
     approx = {r["column_name"]: r["n_distinct"] for r in approx_profile(df).collect()}
     for c in exact:
         assert abs(approx[c] - exact[c]) / exact[c] < 0.15, (c, exact[c], approx[c])
+
+
+def test_profile_drift_surfaces_injected_shifts(spark):
+    from pyspark.sql import functions as F
+    from xoverrr_spark.operators.profile import profile_drift
+    src = spark.createDataFrame(
+        [(i, f"v{i % 10}") for i in range(100)], "id bigint, v string")
+    trg = (
+        src.filter("id % 2 = 0")                       # half the rows
+        .withColumn("v", F.when(F.col("id") % 4 == 0, None)
+                          .otherwise(F.lit("only")))   # nulls + distinct collapse
+    )
+    got = {r.column_name: r for r in profile_drift(src, trg).collect()}
+    assert got["id"].row_delta == -50 and got["id"].src_null_rate == 0.0
+    v = got["v"]
+    assert v.src_distinct == 10 and v.trg_distinct == 1
+    assert v.distinct_delta == -9
+    assert v.trg_null_rate == 0.5 and v.src_null_rate == 0.0
+
+
+def test_profile_drift_zero_row_side_rates(spark):
+    from xoverrr_spark.operators.profile import profile_drift
+    src = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    trg = src.filter("id < 0")
+    got = {r.column_name: r for r in profile_drift(src, trg).collect()}
+    assert got["v"].trg_rows == 0 and got["v"].trg_null_rate == 0.0

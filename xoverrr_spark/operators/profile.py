@@ -137,3 +137,51 @@ def value_outliers(
         .filter(F.abs(F.col("z")) >= z_threshold)
         .select(*keep, F.col("z").cast("decimal(18,6)").cast("double").alias("z"))
     )
+
+
+def profile_drift(
+    src: DataFrame, trg: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Per-column drift between two table profiles — "did this reload /
+    migration / new feed change the shape of the data": row/null/distinct
+    counters side by side with deltas and null-rate change.
+
+    Generalizes the reference's per-column issue counters
+    (/root/reference/src/xoverrr/utils.py:524-548) from row-level diffs to
+    distribution-level monitoring: profile_drift catches what a keyed diff
+    can't see cheaply (a column going 10x more null, a distinct-count
+    collapse from a broken join upstream) in two single-pass aggregates —
+    no key, no shuffle of either table's rows, output is #columns rows.
+
+    Rates are single int/int double divisions (bit-identical in the DuckDB
+    oracle). Zero-row sides produce 0.0 rates, not nulls.
+    """
+    cols = columns or [c for c in src.columns if c in set(trg.columns)]
+    ps = profile(src, cols).select(
+        "column_name",
+        F.col("n_rows").alias("src_rows"),
+        F.col("n_nulls").alias("src_nulls"),
+        F.col("n_distinct").alias("src_distinct"),
+    )
+    pt = profile(trg, cols).select(
+        "column_name",
+        F.col("n_rows").alias("trg_rows"),
+        F.col("n_nulls").alias("trg_nulls"),
+        F.col("n_distinct").alias("trg_distinct"),
+    )
+
+    def rate(n, d):
+        return F.when(F.col(d) == 0, F.lit(0.0)).otherwise(
+            F.col(n) * F.lit(1.0) / F.col(d)
+        )
+
+    return ps.join(pt, "column_name").select(
+        "column_name",
+        "src_rows", "trg_rows",
+        (F.col("trg_rows") - F.col("src_rows")).alias("row_delta"),
+        "src_nulls", "trg_nulls",
+        "src_distinct", "trg_distinct",
+        (F.col("trg_distinct") - F.col("src_distinct")).alias("distinct_delta"),
+        rate("src_nulls", "src_rows").alias("src_null_rate"),
+        rate("trg_nulls", "trg_rows").alias("trg_null_rate"),
+    )

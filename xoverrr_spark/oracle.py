@@ -1544,3 +1544,40 @@ FROM ch WHERE op <> 'D'
 UNION ALL
 SELECT b.* FROM orders b ANTI JOIN ch ON b.o_orderkey = ch.o_orderkey
 """
+
+
+DRIFT_NULL_MOD = 13  # engineered drift: priority nulled on %13 keys
+
+
+def profile_drift_orders() -> str:
+    """Twin of profile.profile_drift: src = orders, trg = engineered side
+    (keys %97 dropped, status corrupted %101, priority NULLed %13)."""
+    def prof(table: str) -> str:
+        parts = [
+            f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+            f"COUNT(*) - COUNT({c}) AS n_nulls, "
+            f"COUNT(DISTINCT {c}) AS n_distinct FROM {table}"
+            for c in PROFILE_ORDERS_COLS
+        ]
+        return "\nUNION ALL\n".join(parts)
+
+    return f"""
+WITH trg AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 101 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice, o_orderdate,
+         CASE WHEN o_orderkey % {DRIFT_NULL_MOD} = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+ps AS ({prof('orders')}),
+pt AS ({prof('trg')})
+SELECT ps.column_name,
+       ps.n_rows AS src_rows, pt.n_rows AS trg_rows,
+       pt.n_rows - ps.n_rows AS row_delta,
+       ps.n_nulls AS src_nulls, pt.n_nulls AS trg_nulls,
+       ps.n_distinct AS src_distinct, pt.n_distinct AS trg_distinct,
+       pt.n_distinct - ps.n_distinct AS distinct_delta,
+       CASE WHEN ps.n_rows = 0 THEN 0.0 ELSE ps.n_nulls * 1.0 / ps.n_rows END AS src_null_rate,
+       CASE WHEN pt.n_rows = 0 THEN 0.0 ELSE pt.n_nulls * 1.0 / pt.n_rows END AS trg_null_rate
+FROM ps JOIN pt USING (column_name)
+"""
