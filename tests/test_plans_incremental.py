@@ -1,0 +1,37 @@
+"""Plan-shape assertions for the incremental ingestion dedup path."""
+
+
+def test_incremental_near_dups_no_shingle_join_no_self_join(spark):
+    from pyspark.sql import functions as F
+    from xoverrr_spark.operators.dedup import (
+        incremental_near_dups,
+        release_intermediates,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = corpus.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    nd = incremental_near_dups(new, corpus, "doc_id", "text")
+    plan = nd._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert join_lines, plan
+    # verify stage must stay candidate-bounded: no join keyed on
+    # shingle_hash (the full co-occurrence join) anywhere
+    assert not any("shingle_hash" in l for l in join_lines), join_lines
+    release_intermediates(nd)
+
+
+def test_bloom_decontaminate_positions_join_is_broadcast(spark):
+    from pyspark.sql import functions as F
+    from xoverrr_spark.operators.dedup import bloom_contaminated_docs
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    plan = bloom_contaminated_docs(d, bench, "doc_id", "text")._jdf\
+        .queryExecution().executedPlan().toString()
+    # the corpus side must reach the position check via broadcast — never a
+    # shuffle of the corpus's exploded positions
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
