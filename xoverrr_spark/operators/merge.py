@@ -69,6 +69,10 @@ def apply_changes(
         F.col("_tag").desc(),
         F.col("_ver").desc_nulls_last(),
         F.col("_tie").desc(),
+        # final tiebreak: two change rows equal in version AND values but
+        # different op ('U' vs 'D') must resolve deterministically — 'U'
+        # wins (desc)
+        F.col("_op").desc(),
     )
     return (
         u.withColumn("_rn", F.row_number().over(w))
