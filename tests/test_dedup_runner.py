@@ -63,3 +63,63 @@ def test_staged_dedup_resume_skips_completed_stages(spark, tmp_path):
         log=lambda m: skipped.append(m),
     )
     assert sum("skipping" in m for m in skipped) == 6  # all six stages
+
+
+# ------------------------------------------------- incremental ingestion ----
+
+def _batch(spark):
+    """1/3 exact copies, 1/3 near-dups (appended tokens), 1/3 fresh."""
+    d = _docs(spark)
+    m = F.col("doc_id") % 3
+    return d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(m == 0, F.col("text"))
+        .when(m == 1, F.concat(F.col("text"), F.lit(" zqx zqy")))
+        .otherwise(F.concat(F.lit("fresh item "), F.col("doc_id").cast("string"),
+                            F.lit(" nothing shared")))
+        .alias("text"),
+    )
+
+
+def test_incremental_job_matches_direct_operators(spark, tmp_path):
+    from xoverrr_spark.operators.dedup import (
+        fingerprint_index, incremental_exact_dedup, incremental_near_dups)
+    from xoverrr_spark.pipeline.dedup_runner import (
+        build_dedup_index, run_incremental_dedup)
+
+    corpus, batch = _docs(spark), _batch(spark)
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "batch1")
+    build_dedup_index(spark, corpus, idx, log=lambda *_: None)
+    summary = run_incremental_dedup(spark, batch, idx, out,
+                                    log=lambda *_: None)
+
+    surv = incremental_exact_dedup(
+        batch, fingerprint_index(corpus, "doc_id", "text"), "doc_id", "text")
+    near = incremental_near_dups(surv, corpus, "doc_id", "text")
+    near_ids = {r.new_id for r in near.select("new_id").distinct().collect()}
+    direct_accept = {r.doc_id for r in surv.collect()} - near_ids
+
+    staged_accept = {
+        r.doc_id for r in spark.read.parquet(f"{out}/accepted").collect()}
+    assert staged_accept == direct_accept
+    assert summary["accepted"] == len(direct_accept)
+    assert summary["exact_dropped"] > 0 and summary["near_dup_dropped"] > 0
+    # the delta carries exactly the accepted docs' index rows
+    delta_fp = spark.read.parquet(f"{out}/index_delta/fingerprints")
+    assert delta_fp.count() == len(direct_accept)  # fresh texts are unique
+    delta_sig = spark.read.parquet(f"{out}/index_delta/signatures")
+    assert {r.doc_id for r in delta_sig.select("doc_id").collect()} == staged_accept
+
+
+def test_incremental_job_resume_skips_done_stages(spark, tmp_path):
+    from xoverrr_spark.pipeline.dedup_runner import (
+        build_dedup_index, run_incremental_dedup)
+
+    corpus, batch = _docs(spark), _batch(spark)
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "run")
+    build_dedup_index(spark, corpus, idx, log=lambda *_: None)
+    run_incremental_dedup(spark, batch, idx, out, log=lambda *_: None)
+    msgs = []
+    run_incremental_dedup(spark, batch, idx, out, log=msgs.append)
+    assert sum("skipping" in m for m in msgs) == 6  # all six stages skipped

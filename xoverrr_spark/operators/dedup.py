@@ -659,7 +659,7 @@ def incremental_exact_dedup(
 
 def incremental_near_dups(
     new_docs: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     id_col: str,
     text_col: str,
     num_hashes: int = 16,
@@ -667,6 +667,8 @@ def incremental_near_dups(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    corpus_shingles: DataFrame | None = None,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Ingestion-time near-dup detection: (new_id, corpus_id, jaccard) pairs
     where a NEW doc near-duplicates an EXISTING corpus doc — the two-table
@@ -678,22 +680,34 @@ def incremental_near_dups(
     applies to the CORPUS side of each bucket (a degenerate corpus bucket
     is exact-dup territory upstream); audit with ``bucket_size_stats``.
 
-    The corpus is scanned twice (signature pass + verify-shingle pass
-    restricted by semi-join) — a production pipeline persists the corpus
-    signature/shingle tables between batches and passes them via the
-    ``corpus_sigs``/``corpus_shingles`` parameters instead.
+    Raw-corpus form (``corpus`` given): the corpus is scanned twice
+    (signature pass + verify-shingle pass restricted by semi-join). The
+    production ingestion loop instead passes the PERSISTED per-batch index
+    (``corpus_shingles`` (doc_id, shingle_hash) and optionally
+    ``corpus_sigs``) built by ``pipeline.dedup_runner.build_dedup_index``
+    — then the raw corpus is never touched and ``corpus`` may be None.
+    ``corpus_sigs`` defaults to re-aggregating from ``corpus_shingles``
+    (cheap relative to the corpus scan it replaces).
     """
+    if corpus_shingles is None and corpus is None:
+        raise ValueError("pass either corpus or corpus_shingles")
     new_sh = shingle_table(new_docs, id_col, text_col, shingle_n).persist()
     new_buckets = _lsh_buckets(
         minhash_signature_from_shingles(new_sh, num_hashes), num_hashes, bands
     ).persist()
 
-    corpus_sh = shingle_table(corpus, id_col, text_col, shingle_n)
+    corpus_sh = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else shingle_table(corpus, id_col, text_col, shingle_n)
+    )
+    sigs = (
+        corpus_sigs
+        if corpus_sigs is not None
+        else minhash_signature_from_shingles(corpus_sh, num_hashes)
+    )
     corpus_buckets = _cap_buckets(
-        _lsh_buckets(
-            minhash_signature_from_shingles(corpus_sh, num_hashes),
-            num_hashes, bands,
-        ),
+        _lsh_buckets(sigs, num_hashes, bands),
         max_bucket_size,
     )
     nb = new_buckets.select(

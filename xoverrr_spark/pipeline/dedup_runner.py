@@ -154,22 +154,187 @@ def main(argv=None) -> None:
     ap.add_argument("--max-bucket-size", type=int, default=D.DEFAULT_MAX_BUCKET,
                     help="LSH bucket cap; 0 disables (exact recall, unbounded worst case)")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--mode", choices=["full", "build-index", "incremental"],
+                    default="full",
+                    help="full: one-shot corpus dedup; build-index: write the "
+                    "fingerprint/shingle/signature index for --input; "
+                    "incremental: dedup --input (a NEW batch) against "
+                    "--index-dir, writing accepted docs + an index delta")
+    ap.add_argument("--index-dir",
+                    help="index location (output of build-index; required for "
+                    "incremental)")
     args = ap.parse_args(argv)
 
     from ..session import get_spark
 
     spark = get_spark("xoverrr_dedup")
     docs = spark.read.parquet(args.input)
-    summary = run_dedup(
-        spark, docs, args.output,
-        id_col=args.id_col, text_col=args.text_col,
-        num_hashes=args.num_hashes, bands=args.bands, shingle_n=args.shingle_n,
-        jaccard_threshold=args.jaccard_threshold,
-        max_bucket_size=args.max_bucket_size or None,
-        resume=not args.no_resume,
-    )
+    if args.mode == "build-index":
+        summary = build_dedup_index(
+            spark, docs, args.index_dir or args.output,
+            id_col=args.id_col, text_col=args.text_col,
+            num_hashes=args.num_hashes, shingle_n=args.shingle_n,
+            resume=not args.no_resume,
+        )
+    elif args.mode == "incremental":
+        if not args.index_dir:
+            ap.error("--incremental requires --index-dir")
+        summary = run_incremental_dedup(
+            spark, docs, args.index_dir, args.output,
+            id_col=args.id_col, text_col=args.text_col,
+            num_hashes=args.num_hashes, bands=args.bands,
+            shingle_n=args.shingle_n,
+            jaccard_threshold=args.jaccard_threshold,
+            max_bucket_size=args.max_bucket_size or None,
+            resume=not args.no_resume,
+        )
+    else:
+        summary = run_dedup(
+            spark, docs, args.output,
+            id_col=args.id_col, text_col=args.text_col,
+            num_hashes=args.num_hashes, bands=args.bands, shingle_n=args.shingle_n,
+            jaccard_threshold=args.jaccard_threshold,
+            max_bucket_size=args.max_bucket_size or None,
+            resume=not args.no_resume,
+        )
     print(json.dumps(summary))
 
+
+
+
+# ------------------------------------------------- incremental ingestion ----
+
+def build_dedup_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    resume: bool = True,
+    log=print,
+) -> dict:
+    """Materialize the per-corpus dedup INDEX an ingestion loop keeps
+    between batches: ``fingerprints/`` (text_fp), ``shingles/``
+    (doc_id, shingle_hash), ``signatures/`` (doc_id, mh_*). Once built,
+    incremental batches never rescan the corpus — they join these tables
+    (the only thing you can afford to touch per batch at 100 TB)."""
+    os.makedirs(index_dir, exist_ok=True)
+    _stage(
+        "fingerprints", index_dir, resume,
+        lambda: D.fingerprint_index(corpus, id_col, text_col), log,
+    )
+    sh_p = _stage(
+        "shingles", index_dir, resume,
+        lambda: D.shingle_table(corpus, id_col, text_col, shingle_n), log,
+    )
+    _stage(
+        "signatures", index_dir, resume,
+        lambda: D.minhash_signature_from_shingles(
+            spark.read.parquet(sh_p), num_hashes
+        ),
+        log,
+    )
+    return {"index_dir": index_dir, "num_hashes": num_hashes, "shingle_n": shingle_n}
+
+
+def run_incremental_dedup(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    output_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = D.DEFAULT_MAX_BUCKET,
+    resume: bool = True,
+    log=print,
+) -> dict:
+    """Ingest a new batch against a ``build_dedup_index`` index dir.
+
+    Stages (each parquet + _SUCCESS, resumable like run_dedup):
+
+        exact_survivors/  batch minus corpus exact dups minus in-batch dups
+        near_pairs/       (new_id, corpus_id, jaccard) vs the index
+        accepted/         exact survivors that near-dup nothing in the corpus
+        index_delta/{fingerprints,shingles,signatures}/
+                          the accepted docs' index rows — append these to
+                          the index dir's tables to complete the loop
+
+    The raw corpus is never read; only the three index tables are joined.
+    """
+    os.makedirs(output_dir, exist_ok=True)
+    fps = spark.read.parquet(os.path.join(index_dir, "fingerprints"))
+    corpus_sh = spark.read.parquet(os.path.join(index_dir, "shingles"))
+    corpus_sigs = spark.read.parquet(os.path.join(index_dir, "signatures"))
+
+    exact_p = _stage(
+        "exact_survivors", output_dir, resume,
+        lambda: D.incremental_exact_dedup(new_docs, fps, id_col, text_col),
+        log,
+    )
+    survivors = spark.read.parquet(exact_p)
+
+    near_p = _stage(
+        "near_pairs", output_dir, resume,
+        lambda: D.incremental_near_dups(
+            survivors, None, id_col, text_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            jaccard_threshold=jaccard_threshold,
+            max_bucket_size=max_bucket_size,
+            corpus_shingles=corpus_sh, corpus_sigs=corpus_sigs,
+        ),
+        log,
+    )
+    near = spark.read.parquet(near_p)
+
+    acc_p = _stage(
+        "accepted", output_dir, resume,
+        lambda: survivors.join(
+            near.select(F.col("new_id").alias(id_col)).distinct(),
+            id_col, "left_anti",
+        ),
+        log,
+    )
+    accepted = spark.read.parquet(acc_p)
+
+    delta_dir = os.path.join(output_dir, "index_delta")
+    os.makedirs(delta_dir, exist_ok=True)
+    _stage(
+        "fingerprints", delta_dir, resume,
+        lambda: D.fingerprint_index(accepted, id_col, text_col), log,
+    )
+    dsh_p = _stage(
+        "shingles", delta_dir, resume,
+        lambda: D.shingle_table(accepted, id_col, text_col, shingle_n), log,
+    )
+    _stage(
+        "signatures", delta_dir, resume,
+        lambda: D.minhash_signature_from_shingles(
+            spark.read.parquet(dsh_p), num_hashes
+        ),
+        log,
+    )
+
+    n_new = new_docs.count()
+    n_exact = survivors.count()
+    n_accepted = accepted.count()
+    summary = {
+        "batch_docs": n_new,
+        "exact_survivors": n_exact,
+        "exact_dropped": n_new - n_exact,
+        "near_dup_dropped": n_exact - n_accepted,
+        "accepted": n_accepted,
+        "jaccard_threshold": jaccard_threshold,
+        "index_dir": index_dir,
+    }
+    with open(os.path.join(output_dir, "incremental_summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    return summary
 
 if __name__ == "__main__":
     main()
