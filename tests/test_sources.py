@@ -65,3 +65,25 @@ def test_binaryfile_source_jpg_normalized_to_jpeg(spark, tmp_path):
     (d / "a.jpg").write_bytes(b"\xff\xd8fakejpeg")
     df = load_table(spark, f"binaryfile:{d}")
     assert df.collect()[0]["fmt"] == "jpeg"
+
+
+def test_write_parquet_sized_target_files(spark, tmp_path):
+    import glob
+    from xoverrr_spark.sources import write_parquet_sized
+    df = spark.range(1000).repartition(37)          # the "too many tasks" input
+    out = str(tmp_path / "sized")
+    write_parquet_sized(df, out, target_files=4)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 4
+    assert spark.read.parquet(out).count() == 1000
+
+
+def test_write_parquet_sized_max_records(spark, tmp_path):
+    import glob
+    from xoverrr_spark.sources import write_parquet_sized
+    df = spark.range(1000).coalesce(1)
+    out = str(tmp_path / "capped")
+    write_parquet_sized(df, out, max_records_per_file=300)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 4                           # ceil(1000/300)
+    assert spark.read.parquet(out).count() == 1000
