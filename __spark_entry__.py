@@ -443,6 +443,33 @@ def q_apply_changes(spark, sf_dir):
     )
 
 
+def q_curate_documents_v2(spark, sf_dir):
+    """Training-data recipe composition, one lazy plan: single-scan window
+    exact-dedup -> drop Gopher-repetitive docs (broadcast anti-join on the
+    flagged tail) -> weighted mixture sample (hash threshold, corpus never
+    shuffles for the rates) -> token-budget sequence packing. Each stage
+    is an independently oracle-verified operator; this pins composition."""
+    from xoverrr_spark.operators.corpus import mixture_sample, pack_documents
+    from xoverrr_spark.operators.dedup import _attach_intermediates, exact_dedup_window
+    from xoverrr_spark.operators.repetition import repetitive_docs
+
+    d = _t(spark, sf_dir, "documents")
+    # the dedup survivors feed FOUR branches (repetition agg, anti-join
+    # left side, mixture rate counts, mixture main) and branches of one
+    # lazy plan never share execution — persist, and free via
+    # release_intermediates after materializing (bench does)
+    dd = exact_dedup_window(d, "doc_id", "text").persist()
+    rep = repetitive_docs(
+        dd, max_dup_frac=oracle.CURATE2_MAX_DUP,
+        max_top_frac=oracle.CURATE2_MAX_TOP,
+    )
+    keepr = dd.join(F.broadcast(rep.select("doc_id")), "doc_id", "left_anti").persist()
+    mixed = mixture_sample(keepr, oracle.MIXTURE_WEIGHTS, oracle.MIXTURE_TARGET_FRAC)
+    return _attach_intermediates(
+        pack_documents(mixed, oracle.PACK_BUDGET_TOKENS), [dd, keepr]
+    )
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     from xoverrr_spark.operators.dedup import bloom_contaminated_docs
 
@@ -878,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate_documents": q_bloom_decontaminate,
         "apply_changes_orders": q_apply_changes,
         "profile_drift_orders": q_profile_drift,
+        "curate_documents_v2": q_curate_documents_v2,
     }
 
 
@@ -947,4 +975,5 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontaminate_documents": oracle.bloom_decontaminate_documents(),
         "apply_changes_orders": oracle.apply_changes_orders(),
         "profile_drift_orders": oracle.profile_drift_orders(),
+        "curate_documents_v2": oracle.curate_documents_v2(),
     }

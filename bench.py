@@ -176,6 +176,7 @@ def run_operator_queries(spark) -> dict[str, float]:
         "minhash_near_dups_documents", "simhash_documents",
         "ann_topk_embeddings", "curate_documents", "session_stats_events",
         "asof_events", "range_count_events", "repetition_stats_documents",
+        "curate_documents_v2",
         "mixture_sample_documents", "quality_top_fraction_documents",
     ]
     from xoverrr_spark.operators.dedup import release_intermediates

@@ -1581,3 +1581,82 @@ SELECT ps.column_name,
        CASE WHEN pt.n_rows = 0 THEN 0.0 ELSE pt.n_nulls * 1.0 / pt.n_rows END AS trg_null_rate
 FROM ps JOIN pt USING (column_name)
 """
+
+
+# curate_v2 thresholds (the synthetic docs are mildly repetitive; these
+# flag the tail without emptying the corpus)
+CURATE2_MAX_DUP = 0.25
+CURATE2_MAX_TOP = 0.12
+
+
+def curate_documents_v2() -> str:
+    """Twin of q_curate_documents_v2: window exact-dedup -> drop repetitive
+    docs (Gopher bigram fractions) -> weighted mixture sample -> sequence
+    packing. Every stage is an already-verified oracle piece, re-played
+    over the previous stage's CTE."""
+    from xoverrr_spark.operators.corpus import MIXTURE_BUCKETS
+
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {w * MIXTURE_TARGET_FRAC!r}"
+        for s, w in MIXTURE_WEIGHTS.items()
+    )
+    b = float(MIXTURE_BUCKETS)
+    md5i = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+    return f"""
+WITH fpd AS (
+  SELECT doc_id, source, text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fpv
+  FROM documents
+),
+dd AS (
+  SELECT doc_id, source, text FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fpv ORDER BY doc_id) AS rn FROM fpd
+  ) WHERE rn = 1
+),
+wds AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words
+  FROM dd WHERE text IS NOT NULL
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(words) - 1),
+                               i -> words[i] || ' ' || words[i + 1])) AS bigram
+  FROM wds WHERE len(words) >= 2
+),
+bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+rep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           CAST(SUM(c) - COUNT(*) AS BIGINT) * 1.0 / CAST(SUM(c) AS BIGINT) AS df,
+           MAX(c) * 1.0 / CAST(SUM(c) AS BIGINT) AS tf
+    FROM bc GROUP BY doc_id
+  ) WHERE df > {CURATE2_MAX_DUP} OR tf > {CURATE2_MAX_TOP}
+),
+keepr AS (SELECT d.* FROM dd d ANTI JOIN rep r USING (doc_id)),
+cnt AS (SELECT source, COUNT(*) AS n FROM keepr GROUP BY source),
+ct AS (SELECT source, n, SUM(n) OVER () AS total FROM cnt),
+th AS (
+  SELECT source,
+         CASE WHEN (CASE {cases} ELSE NULL END) IS NULL THEN NULL
+              ELSE CAST(floor(LEAST((CASE {cases} ELSE NULL END) * total / n, 1.0)
+                         * {b!r}) AS BIGINT) END AS th
+  FROM ct
+),
+mixed AS (
+  SELECT k.doc_id, k.source, k.text
+  FROM keepr k JOIN th ON k.source IS NOT DISTINCT FROM th.source
+  WHERE th.th IS NOT NULL AND {md5i} % {MIXTURE_BUCKETS} < th.th
+),
+tok AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM mixed
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {PACK_BUDGET_TOKENS}) AS BIGINT) AS pack_id
+FROM tok
+"""
