@@ -34,3 +34,23 @@ def test_diff_perf_gate(spark, n, cols, budget_s):
     dt = time.time() - t0
     assert row["only_source_rows"] == n // 100
     assert dt < budget_s, f"{n}x{cols} diff took {dt:.2f}s"
+
+
+def test_curate_v2_perf_gate(spark):
+    """The four-stage recipe composition must stay in the single-digit
+    seconds at sf0.01 (wide margin for host bursts; BENCH.md has the tight
+    numbers). Guards against the unpersisted-branch regression: without
+    the dd/keepr persists this plan recomputes the window dedup 4x."""
+    import __spark_entry__ as e
+    from xoverrr_spark.operators.dedup import release_intermediates
+
+    q = e.queries()["curate_documents_v2"]
+    df = q(spark, "/root/testdata/sf0.01")
+    df.count()  # warm
+    release_intermediates(df)
+    df = q(spark, "/root/testdata/sf0.01")
+    t0 = time.time()
+    df.count()
+    dt = time.time() - t0
+    release_intermediates(df)
+    assert dt < 15.0, f"curate_v2 took {dt:.2f}s at sf0.01"
