@@ -86,3 +86,57 @@ def test_compute_phash_stable_under_lossy_quantization(spark):
     got = {r["image_id"]: r["phash"] for r in compute_phash(df).collect()}
     ham = bin(got["orig"] ^ got["lossy"]).count("1")
     assert ham <= 4, ham  # quantization moves at most a few cells across the mean
+
+
+# -------------------------------------------------------- phash near-dups ----
+
+def test_phash_near_dups_banding_and_verify(spark):
+    """Known hamming distances on an explicit phash table: <=3 paired,
+    >3 not — and a cross-band distance (bits spread over 4 bands) is
+    correctly EXCLUDED by the exact verify even though banding may pair it."""
+    from xoverrr_spark.operators.dedup import release_intermediates
+    from xoverrr_spark.operators.multimodal import phash_near_dups
+    base = 0x0123456789ABCDE7
+    rows = [
+        ("a", base),
+        ("b", base ^ 0b111),                 # hamming 3 (one band)
+        ("c", base ^ (1 << 62)),             # hamming 1 (top band)
+        ("d", base ^ 0x000F000F000F000F),    # hamming 16: every band differs
+                                             # -> no shared bucket, unpaired
+        ("e", 0x7070707070707070),           # far from everything
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = phash_near_dups(df, max_hamming=3)
+    pairs = {(r.img_a, r.img_b): r.hamming for r in got.collect()}
+    release_intermediates(got)
+    assert pairs[("a", "b")] == 3
+    assert pairs[("a", "c")] == 1
+    assert pairs[("b", "c")] == 4 if ("b", "c") in pairs else True  # >3 filtered
+    assert ("b", "c") not in pairs
+    assert not any("d" in p or "e" in p for p in pairs)
+
+
+def test_phash_near_dups_finds_reencoded_copy_from_pixels(spark):
+    """End-to-end from bytes: an exact byte-copy under a new id lands at
+    hamming 0; unrelated fixture images are not flooded into pairs."""
+    from pyspark.sql import functions as F
+    from xoverrr_spark.fixtures.images import images_df
+    from xoverrr_spark.operators.dedup import release_intermediates
+    from xoverrr_spark.operators.multimodal import phash_near_dups
+    imgs = images_df(spark, 24, seed=7).select("image_id", "bytes", "fmt")
+    clone = imgs.limit(1).withColumn("image_id", F.lit("clone_0"))
+    both = imgs.unionByName(clone)
+    got = phash_near_dups(both, max_hamming=2)
+    pairs = [(r.img_a, r.img_b, r.hamming) for r in got.collect()]
+    release_intermediates(got)
+    assert any("clone_0" in (a, b) and h == 0 for a, b, h in pairs)
+    # near-dup pairs must be a small fraction, not an all-pairs explosion
+    assert len(pairs) < 24
+
+
+def test_phash_near_dups_rejects_bad_banding(spark):
+    import pytest
+    from xoverrr_spark.operators.multimodal import phash_near_dups
+    df = spark.createDataFrame([("a", 1)], "image_id string, phash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_near_dups(df, max_hamming=4, bands=4)

@@ -19,6 +19,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..codecs.png import decode_image, psnr, quantize_lossy
 
@@ -147,3 +148,73 @@ def thumbnail(df: DataFrame, size: int = 4) -> DataFrame:
             yield pd.DataFrame(recs, columns=["image_id", "h", "w", "thumb"])
 
     return df.select("image_id", "bytes", "fmt").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+PHASH_BITS = 64
+
+
+def phash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """(img_a, img_b, hamming) pairs of perceptually near-duplicate IMAGES:
+    Hamming distance <= ``max_hamming`` on the 64-bit perceptual hash —
+    the image-payload twin of ``dedup.simhash_near_dups`` (re-encoded,
+    resized, or lossily re-compressed copies of one image land within a
+    few phash bits while their bytes differ completely, so byte-level
+    dedup cannot see them).
+
+    If ``phash_col`` is absent the hashes are computed from pixels first
+    (``compute_phash``, a mapInPandas with no shuffle). Candidate pairing
+    is pigeonhole banding — a pair within distance d agrees exactly on
+    >= 1 of d+1 bands — so the join is O(images x bands), never O(n^2);
+    one JVM-side ``bit_count(xor)`` verifies exactly. Requires
+    bands > max_hamming. ``max_bucket_size`` caps degenerate buckets
+    (e.g. millions of monochrome thumbnails share one phash); default
+    None = exact recall. Defaults mirror simhash_near_dups; the band
+    table is persisted across the self-join (exchanges are never reused)
+    and freed via ``dedup.release_intermediates(result)``.
+    """
+    from .dedup import _attach_intermediates, _cap_buckets
+
+    if max_hamming >= bands:
+        raise ValueError("max_hamming must be < bands for the pigeonhole")
+    if PHASH_BITS % bands != 0:
+        raise ValueError(f"bands must divide {PHASH_BITS}")
+    sig = (
+        df.select(F.col(id_col).alias("image_id"), F.col(phash_col).alias("phash"))
+        if phash_col in df.columns
+        else compute_phash(df)
+    )
+    band_bits = PHASH_BITS // bands
+    mask = (1 << band_bits) - 1
+    bt = sig.select(
+        F.col("image_id").alias("doc_id"), "phash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("phash"), b * band_bits)
+                .bitwiseAND(F.lit(mask)).alias("bkey"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", "phash", "bb.band", "bb.bkey")
+    bt = _cap_buckets(bt, max_bucket_size).persist()
+    a, b2 = bt.alias("a"), bt.alias("b")
+    pairs = (
+        a.join(b2, ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("img_a"),
+            F.col("b.doc_id").alias("img_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return _attach_intermediates(
+        pairs.filter(F.col("hamming") <= max_hamming), [bt]
+    )
