@@ -103,3 +103,33 @@ def test_write_kept_outputs_curated_records(spark, tmp_path):
     assert kept.filter("NOT keep").count() == 0
     dec = spark.read.parquet(f"{out}/decisions")
     assert dec.filter("keep").count() == kept.count()
+
+
+def test_dedup_images_prestage_removes_clones(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from xoverrr_spark.fixtures.images import images_df
+    from xoverrr_spark.pipeline.runner import run_pipeline
+
+    imgs = images_df(spark, 120, 11)
+    # three phash-identical re-encodes of img 0 + one at hamming 1
+    base = imgs.limit(1)
+    clones = (
+        base.withColumn("image_id", F.lit("zz_clone_a"))
+        .unionByName(base.withColumn("image_id", F.lit("zz_clone_b")))
+        .unionByName(
+            base.withColumn("image_id", F.lit("zz_clone_c"))
+            .withColumn("phash", F.col("phash").bitwiseXOR(F.lit(1)))
+        )
+    )
+    both = imgs.unionByName(clones)
+    out = str(tmp_path / "dd_run")
+    summary = run_pipeline(spark, both, out, n_buckets=4, dedup_images=True)
+    assert summary["image_dups_removed"] == 3
+    assert summary["total_rows"] == 120  # the min-id original survived
+    dropped = spark.read.parquet(f"{out}/image_dups")
+    got = {r.image_id: r.survivor_id for r in dropped.collect()}
+    assert set(got) == {"zz_clone_a", "zz_clone_b", "zz_clone_c"}
+    assert set(got.values()) == {"img_00000000"}
+    # decisions never saw the clones
+    dec = spark.read.parquet(f"{out}/decisions")
+    assert dec.filter(F.col("image_id").startswith("zz_")).count() == 0

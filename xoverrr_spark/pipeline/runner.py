@@ -154,6 +154,44 @@ def _run_bucket(
     return row
 
 
+def _drop_image_near_dups(
+    spark: SparkSession,
+    images: DataFrame,
+    output_dir: str,
+    resume: bool,
+    max_hamming: int = 2,
+) -> tuple[DataFrame, int]:
+    """Optional pre-stage: collapse perceptually near-duplicate IMAGES to
+    one survivor per cluster before any caption work — re-encoded copies
+    of one image would otherwise each pay langid/ppl/rules and multiply
+    into the kept corpus. Operates on the EXISTING ``phash`` column (the
+    north-rule input carries one; no decode). Dropped ids + their survivor
+    are written to ``image_dups/`` (resumable via _SUCCESS), and the
+    returned frame is the input minus the dropped ids (left_anti — the
+    survivor keeps flowing)."""
+    from ..operators.dedup import cluster_near_dups, release_intermediates
+    from ..operators.multimodal import phash_near_dups
+
+    path = os.path.join(output_dir, "image_dups")
+    if not (resume and os.path.exists(os.path.join(path, "_SUCCESS"))):
+        pairs = phash_near_dups(images, max_hamming=max_hamming)
+        labels = cluster_near_dups(
+            pairs.select(F.col("img_a").alias("doc_a"), F.col("img_b").alias("doc_b"))
+        )
+        surv = labels.groupBy("cluster_id").agg(F.min("doc_id").alias("survivor_id"))
+        dropped = (
+            labels.join(surv, "cluster_id")
+            .filter(F.col("doc_id") != F.col("survivor_id"))
+            .select(F.col("doc_id").alias("image_id"), "survivor_id")
+        )
+        dropped.write.mode("overwrite").parquet(path)
+        release_intermediates(pairs)
+    dropped = spark.read.parquet(path)
+    n = dropped.count()
+    return images.join(dropped.select("image_id"), "image_id", "left_anti"), n
+
+
+
 def stage_bucketed_input(
     spark: SparkSession, images: DataFrame, output_dir: str, n_buckets: int,
     resume: bool = True,
@@ -192,6 +230,8 @@ def run_pipeline(
     concurrency: int = 1,
     stage_input: bool = True,
     write_kept: bool = False,
+    dedup_images: bool = False,
+    image_dedup_hamming: int = 2,
     _fail_after_bucket: int | None = None,
 ) -> dict:
     """Run the quality filter bucket-by-bucket with checkpointed resume.
@@ -208,6 +248,11 @@ def run_pipeline(
     if salt_partitions is None:
         salt_partitions = spark.sparkContext.defaultParallelism
     done = completed_buckets(output_dir) if resume else {}
+    n_image_dups = 0
+    if dedup_images:
+        images, n_image_dups = _drop_image_near_dups(
+            spark, images, output_dir, resume, image_dedup_hamming
+        )
     if stage_input:
         bucketed = stage_bucketed_input(spark, images, output_dir, n_buckets, resume)
     elif "bucket" in images.columns:
@@ -253,6 +298,7 @@ def run_pipeline(
         "n_buckets": n_buckets,
         "total_rows": total,
         "kept_rows": kept,
+        "image_dups_removed": n_image_dups,
         "drop_pct": drop_pct,
         "status": status,
         "lineage": lineage,
@@ -284,6 +330,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="(synthetic input only) diff decisions against the "
                     "independent golden labeler and report F1 + score")
     ap.add_argument("--tolerance", type=float, default=100.0)
+    ap.add_argument("--dedup-images", action="store_true",
+                    help="pre-stage: collapse perceptual near-dup images "
+                    "(phash hamming <= --image-dedup-hamming) to one "
+                    "survivor before filtering; dropped ids -> image_dups/")
+    ap.add_argument("--image-dedup-hamming", type=int, default=2)
     ap.add_argument("--write-kept", action="store_true",
                     help="also write curated records (kept rows, all input "
                     "columns incl. payload) under kept/bucket=N")
@@ -306,7 +357,8 @@ def main(argv: list[str] | None = None) -> None:
         spark, images, args.output, args.buckets,
         salt_partitions=args.salt, resume=not args.no_resume,
         tolerance_drop_pct=args.tolerance, concurrency=args.concurrency,
-        write_kept=args.write_kept,
+        write_kept=args.write_kept, dedup_images=args.dedup_images,
+        image_dedup_hamming=args.image_dedup_hamming,
     )
     if args.verify_golden:
         if not args.synthetic:
