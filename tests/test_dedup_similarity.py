@@ -602,3 +602,18 @@ def test_bloom_decontaminate_small_m_floods_false_positives(spark):
     # 64 bits vs ~1.5k benchmark shingles: the filter saturates and flags
     # essentially the whole corpus
     assert len(tiny) >= 0.95 * d.count() > len(exact)
+
+
+def test_zero_vector_never_ranks_first(spark):
+    """A zero embedding (failed encoder) must score cos 0.0, not NaN —
+    Spark sorts NaN above every real number, so without the guard a single
+    zero vector becomes the rank-1 neighbor of EVERY query."""
+    from xoverrr_spark.operators.similarity import cosine_topk
+    rows = [("q", [1.0, 0.0, 0.0]),
+            ("good", [0.9, 0.1, 0.0]),
+            ("dead", [0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    got = {r.neighbor_id: (r.rank, r.cos) for r in
+           cosine_topk(df, df.filter("vec_id = 'q'"), k=2).collect()}
+    assert got["good"][0] == 1
+    assert got["dead"][0] == 2 and got["dead"][1] == 0.0

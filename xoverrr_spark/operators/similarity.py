@@ -33,7 +33,16 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity with a zero-vector guard: a zero embedding (the
+    classic failed-encoder artifact) would make this 0/0 = NaN, and Spark
+    ORDERS NaN ABOVE every real number — so one zero vector in the corpus
+    would surface as the rank-1 neighbor of EVERY query. Zero-norm pairs
+    score 0.0 instead (the oracle twins mirror the CASE). The denominator
+    tree is referenced twice (guard + division) — a bounded 2x on two
+    small array folds, not the combinatorial when-chain blowup CLAUDE.md
+    bans."""
+    den = _norm(a) * _norm(b)
+    return F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(_dot(a, b) / den)
 
 
 def _as_double(c: Column) -> Column:

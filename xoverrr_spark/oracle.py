@@ -837,8 +837,9 @@ ANN_K = 5
 
 
 def ann_topk_embeddings() -> str:
-    cos = ("list_dot_product(qv, cv) / "
-           "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))")
+    den = "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+    # zero-vector guard mirrors similarity.cosine (NaN would sort first)
+    cos = f"CASE WHEN {den} = 0.0 THEN 0.0 ELSE list_dot_product(qv, cv) / {den} END"
     return f"""
 WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
            FROM embeddings WHERE vec_id < {ANN_QUERY_MAX_ID}),
@@ -906,7 +907,8 @@ def embedding_near_dup_pairs() -> str:
         )
         band_selects.append(f"SELECT vec_id, {b} AS band, {bits} AS bkey FROM v")
     buckets = "\n  UNION ALL\n  ".join(band_selects)
-    cos = f"{_fold_dot('va', 'vb')} / ({_fold_norm('va')} * {_fold_norm('vb')})"
+    den = f"({_fold_norm('va')} * {_fold_norm('vb')})"
+    cos = f"CASE WHEN {den} = 0.0 THEN 0.0 ELSE {_fold_dot('va', 'vb')} / {den} END"
     return f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
 buckets0 AS (
