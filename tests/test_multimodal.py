@@ -140,3 +140,28 @@ def test_phash_near_dups_rejects_bad_banding(spark):
     df = spark.createDataFrame([("a", 1)], "image_id string, phash long")
     with pytest.raises(ValueError, match="pigeonhole"):
         phash_near_dups(df, max_hamming=4, bands=4)
+
+
+def test_null_bytes_rows_never_crash_decode_ops(spark):
+    """Failed downloads (null bytes) must yield error/null rows, not task
+    crashes — a 100 TB scrape always contains them."""
+    from pyspark.sql import functions as F
+    from xoverrr_spark.fixtures.images import images_df
+    from xoverrr_spark.operators.multimodal import (
+        compute_phash, decode_stats, thumbnail)
+    imgs = images_df(spark, 6, seed=3).select("image_id", "bytes", "fmt")
+    dead = imgs.limit(1).select(
+        F.lit("dead_row").alias("image_id"),
+        F.lit(None).cast("binary").alias("bytes"),
+        F.lit("png").alias("fmt"))
+    both = imgs.unionByName(dead)
+
+    stats = {r.image_id: r.ok for r in decode_stats(both).collect()}
+    assert stats["dead_row"] is False and sum(stats.values()) == 6
+
+    ph = {r.image_id: r.phash for r in compute_phash(both).collect()}
+    assert ph["dead_row"] is None
+    assert sum(v is not None for v in ph.values()) == 6
+
+    th = {r.image_id: r.thumb for r in thumbnail(both).collect()}
+    assert th["dead_row"] is None and len(th) == 7

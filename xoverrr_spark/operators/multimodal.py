@@ -49,7 +49,9 @@ def decode_stats(df: DataFrame) -> DataFrame:
                          float(means.mean()),
                          int(np.int64(px.sum())))
                     )
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, TypeError):
+                    # TypeError = null bytes (failed download) — an error
+                    # row, never a task crash
                     recs.append((iid, False, None, None, None, None, None, None, None))
             yield pd.DataFrame(
                 recs,
@@ -104,6 +106,11 @@ def compute_phash(df: DataFrame, grid: int = 8) -> DataFrame:
         for pdf in it:
             recs = []
             for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                if blob is None:
+                    # failed download: null phash (band keys go null ->
+                    # never pairs; runner's null bucket), never a crash
+                    recs.append((iid, None))
+                    continue
                 px = decode_image(bytes(blob), fmt).astype(np.float64)
                 luma = px @ np.array([0.299, 0.587, 0.114])
                 h, w = luma.shape
@@ -136,6 +143,9 @@ def thumbnail(df: DataFrame, size: int = 4) -> DataFrame:
         for pdf in it:
             recs = []
             for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                if blob is None:
+                    recs.append((iid, None, None, None))
+                    continue
                 px = decode_image(bytes(blob), fmt).astype(np.float64)
                 h, w, _ = px.shape
                 ys = np.linspace(0, h, size + 1).astype(int)
