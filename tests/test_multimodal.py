@@ -165,3 +165,26 @@ def test_null_bytes_rows_never_crash_decode_ops(spark):
 
     th = {r.image_id: r.thumb for r in thumbnail(both).collect()}
     assert th["dead_row"] is None and len(th) == 7
+
+
+def test_phash_robust_across_codecs(spark):
+    """The SAME pixels pushed through the lossless PNG codec and the real
+    lossy DCT codec must land within a few phash bits — the property that
+    makes phash near-dup detection catch re-encoded copies."""
+    import numpy as np
+    from xoverrr_spark.codecs.dct import encode_dct
+    from xoverrr_spark.codecs.png import encode_png
+    from xoverrr_spark.operators.dedup import release_intermediates
+    from xoverrr_spark.operators.multimodal import compute_phash, phash_near_dups
+
+    rng = np.random.default_rng(5)
+    # smooth gradient + noise: structured enough for a stable phash
+    g = np.linspace(0, 200, 16)[:, None, None]
+    px = (g + rng.integers(0, 40, (16, 16, 3))).astype(np.uint8)
+    rows = [("png_v", encode_png(px), "png"),
+            ("dct_v", encode_dct(px), "jpeg")]  # fmt label; magic dispatches
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = phash_near_dups(compute_phash(df), max_hamming=4, bands=8)
+    pairs = [(r.img_a, r.img_b, r.hamming) for r in got.collect()]
+    release_intermediates(got)
+    assert pairs and pairs[0][2] <= 4, pairs
