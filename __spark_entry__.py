@@ -815,6 +815,16 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    from xoverrr_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        oracle.CHUNK_MAX_TOKENS,
+        oracle.CHUNK_STRIDE,
+    )
+
+
 def q_pack_documents(spark, sf_dir):
     from xoverrr_spark.operators.corpus import pack_documents
 
@@ -906,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_changes_orders": q_apply_changes,
         "profile_drift_orders": q_profile_drift,
         "curate_documents_v2": q_curate_documents_v2,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -976,4 +987,5 @@ def oracle_sql() -> dict[str, str]:
         "apply_changes_orders": oracle.apply_changes_orders(),
         "profile_drift_orders": oracle.profile_drift_orders(),
         "curate_documents_v2": oracle.curate_documents_v2(),
+        "chunk_documents": oracle.chunk_documents(),
     }

@@ -234,3 +234,43 @@ def test_pack_documents_pack_fill_property(spark):
         if prev is not None:
             assert p.lo > prev
         by_src[p.source] = p.hi
+
+
+# ------------------------------------------------------- chunk_documents ----
+
+def test_chunk_documents_overlap_and_remainder(spark):
+    import pytest
+    from xoverrr_spark.operators.corpus import chunk_documents
+    text = " ".join(f"w{i}" for i in range(10))
+    d = spark.createDataFrame([(1, text), (2, ""), (3, None), (4, "solo")],
+                              "doc_id bigint, text string")
+    got = sorted((r.doc_id, r.chunk_idx, r.n_chunk_tokens, r.chunk_text)
+                 for r in chunk_documents(d, 4, 3).collect())
+    # doc 1: starts 0,3,6,9 -> windows of <=4 tokens, last is remainder w9
+    assert [(g[1], g[3]) for g in got if g[0] == 1] == [
+        (0, "w0 w1 w2 w3"), (1, "w3 w4 w5 w6"), (2, "w6 w7 w8 w9"), (3, "w9")]
+    # empty/null docs yield no chunks; 1-word doc yields itself
+    assert [g for g in got if g[0] in (2, 3)] == []
+    assert [(g[1], g[3]) for g in got if g[0] == 4] == [(0, "solo")]
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(d, 4, 5)
+
+
+def test_chunk_documents_reconstructs_with_disjoint_stride(spark):
+    """stride == max_tokens: chunks partition the token stream exactly."""
+    from pyspark.sql import functions as F
+    from xoverrr_spark.operators.corpus import chunk_documents
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ch = chunk_documents(d, 7)
+    back = (
+        ch.groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.array_sort(
+            F.collect_list(F.struct("chunk_idx", "chunk_text"))
+        ).getField("chunk_text")).alias("rebuilt"),
+             F.sum("n_chunk_tokens").alias("tok"))
+    )
+    j = d.join(back, "doc_id")
+    bad = j.filter(
+        F.col("rebuilt") != F.concat_ws(" ", F.split(F.trim("text"), r"\s+"))
+    ).count()
+    assert bad == 0

@@ -313,3 +313,55 @@ def pack_documents(
             F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget_tokens)
         ).cast("bigint").alias("pack_id"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split long documents into (possibly overlapping) token windows —
+    the standard max-sequence-length preparation step (the inverse of
+    ``pack_documents``: packing fills short docs into a budget, chunking
+    cuts long docs down to it).
+
+    Windows start every ``stride`` tokens (default = max_tokens, i.e.
+    disjoint); each holds up to ``max_tokens`` whitespace tokens. The
+    final window is the remainder (never empty, never duplicated: a doc
+    with n tokens yields ceil-style starts 0, stride, ... < n). Documents
+    with no tokens (empty/whitespace/null text) yield NO chunks —
+    dropping empties is the quality filter's call upstream.
+
+    Pure Column expressions (split -> sequence -> transform -> posexplode):
+    no shuffle at all — chunking is embarrassingly parallel and stays in
+    whole-stage codegen until the explode.
+
+    Returns (id_col, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    stride = max_tokens if stride is None else int(stride)
+    if not 0 < stride <= max_tokens:
+        raise ValueError("stride must be in (0, max_tokens]")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(words)
+    )
+    # starts: 0, stride, 2*stride, ... strictly below n (1-based slice)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(words, s + 1, max_tokens))
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(F.when(n > 0, chunks).otherwise(F.array().cast("array<string>")))
+        .alias("chunk_idx", "chunk_text"),
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.size(F.split("chunk_text", r"\s+")).alias("n_chunk_tokens"),
+        "chunk_text",
+    )

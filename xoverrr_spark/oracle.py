@@ -1662,3 +1662,28 @@ SELECT doc_id, source, n_tokens,
             / {PACK_BUDGET_TOKENS}) AS BIGINT) AS pack_id
 FROM tok
 """
+
+
+CHUNK_MAX_TOKENS = 20
+CHUNK_STRIDE = 15
+
+
+def chunk_documents() -> str:
+    """Twin of corpus.chunk_documents: starts via range(0, n, stride),
+    1-based inclusive list slice, ordered string_agg-free rebuild."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+st AS (
+  SELECT doc_id, words, unnest(range(0, len(words), {CHUNK_STRIDE})) AS s
+  FROM w
+)
+SELECT doc_id,
+       CAST(s // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       CAST(len(words[s + 1 : s + {CHUNK_MAX_TOKENS}]) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(words[s + 1 : s + {CHUNK_MAX_TOKENS}], ' ') AS chunk_text
+FROM st
+"""
