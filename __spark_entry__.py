@@ -815,6 +815,28 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
 
+def q_sliding_counts(spark, sf_dir):
+    """Sliding event-time windows (10 min window / 5 min step) — the batch
+    twin of the streaming windowed aggregation; each event lands in
+    window/step = 2 epoch-aligned windows."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = F.window(
+        F.col("ts").cast("timestamp"),
+        f"{oracle.SLIDE_WINDOW_S} seconds",
+        f"{oracle.SLIDE_STEP_S} seconds",
+    )
+    return (
+        ev.groupBy(w.alias("_w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
 def q_chunk_documents(spark, sf_dir):
     from xoverrr_spark.operators.corpus import chunk_documents
 
@@ -917,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_drift_orders": q_profile_drift,
         "curate_documents_v2": q_curate_documents_v2,
         "chunk_documents": q_chunk_documents,
+        "sliding_counts_events": q_sliding_counts,
     }
 
 
@@ -988,4 +1011,5 @@ def oracle_sql() -> dict[str, str]:
         "profile_drift_orders": oracle.profile_drift_orders(),
         "curate_documents_v2": oracle.curate_documents_v2(),
         "chunk_documents": oracle.chunk_documents(),
+        "sliding_counts_events": oracle.sliding_counts_events(),
     }

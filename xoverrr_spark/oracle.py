@@ -1687,3 +1687,32 @@ SELECT doc_id,
        array_to_string(words[s + 1 : s + {CHUNK_MAX_TOKENS}], ' ') AS chunk_text
 FROM st
 """
+
+
+SLIDE_WINDOW_S = 600
+SLIDE_STEP_S = 300
+
+
+def sliding_counts_events() -> str:
+    """Twin of q_sliding_counts: Spark's F.window(ts, 10min, 5min) sliding
+    windows (epoch-aligned). Each event belongs to exactly window/step = 2
+    windows: starts floor5(t) and floor5(t) - step."""
+    return f"""
+WITH e AS (
+  SELECT event_type, ts,
+         to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // {SLIDE_STEP_S})
+                      * {SLIDE_STEP_S}) AS s0
+  FROM events WHERE ts IS NOT NULL
+),
+x AS (
+  SELECT event_type, ts,
+         unnest([s0, s0 - INTERVAL {SLIDE_STEP_S} SECOND]) AS ws
+  FROM e
+)
+SELECT CAST(ws AS TIMESTAMP) AS window_start,
+       CAST(ws + INTERVAL {SLIDE_WINDOW_S} SECOND AS TIMESTAMP) AS window_end,
+       event_type, COUNT(*) AS cnt
+FROM x
+WHERE ts >= ws AND ts < ws + INTERVAL {SLIDE_WINDOW_S} SECOND
+GROUP BY 1, 2, 3
+"""
