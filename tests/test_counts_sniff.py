@@ -133,3 +133,45 @@ def test_count_anomalies_integer_thresholds(spark):
     assert got["2024-01-05"] is True           # 300 > 2 * 100
     assert got["2024-01-06"] is False          # 100 within [70, 280]
     assert got["2024-01-07"] is True           # 40 * 2 < avg ~133
+
+
+def test_sessionize_agrees_with_builtin_session_window(spark):
+    """Our window-based sessionizer must carve the same sessions as
+    Spark's built-in session_window aggregation (integer-second fixture,
+    no gap exactly AT the threshold — the two specs differ only there:
+    ours merges gap == threshold, the built-in's exclusive end splits)."""
+    from datetime import datetime as dt, timedelta as td
+    from pyspark.sql import functions as F
+    from xoverrr_spark.operators.counts import sessionize
+
+    rows, t = [], dt(2024, 1, 1)
+    gaps = [0, 10, 50, 400, 20, 1000, 5, 5, 900, 30]  # threshold 300
+    eid = 0
+    for u in (1, 2):
+        t = dt(2024, 1, 1)
+        for g in gaps:
+            t = t + td(seconds=g)
+            rows.append((eid, u, t))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp")
+
+    ours = (
+        sessionize(ev, gap_seconds=300)
+        .groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("_tsec").alias("start"))
+    )
+    ours_set = {(r.user_id, r.start, r.n) for r in ours.collect()}
+
+    builtin = (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "300 seconds").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("start"),
+            "n",
+        )
+    )
+    builtin_set = {(r.user_id, r.start, r.n) for r in builtin.collect()}
+    assert ours_set == builtin_set and len(ours_set) == 8
