@@ -815,6 +815,72 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
 
+def q_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape declared declaratively — Catalyst pushes both date
+    filters into the scans and broadcast-joins the filtered customer dim."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == oracle.Q3_SEGMENT
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(oracle.Q3_DATE).cast("date")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(oracle.Q3_DATE).cast("date")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table star join + local-supplier condition; the
+    three dimension tables broadcast, the fact joins shuffle on their keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(oracle.Q5_YEAR_LO).cast("date"))
+        & (F.col("o_orderdate") < F.lit(oracle.Q5_YEAR_HI).cast("date"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == oracle.Q5_REGION)
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .join(
+            s,
+            (l["l_suppkey"] == s["s_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
 def q_sliding_counts(spark, sf_dir):
     """Sliding event-time windows (10 min window / 5 min step) — the batch
     twin of the streaming windowed aggregation; each event lands in
@@ -940,6 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_documents_v2": q_curate_documents_v2,
         "chunk_documents": q_chunk_documents,
         "sliding_counts_events": q_sliding_counts,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_local_supplier_volume": q_q5_local_supplier_volume,
     }
 
 
@@ -1012,4 +1080,6 @@ def oracle_sql() -> dict[str, str]:
         "curate_documents_v2": oracle.curate_documents_v2(),
         "chunk_documents": oracle.chunk_documents(),
         "sliding_counts_events": oracle.sliding_counts_events(),
+        "q3_shipping_priority": oracle.q3_shipping_priority(),
+        "q5_local_supplier_volume": oracle.q5_local_supplier_volume(),
     }

@@ -35,3 +35,21 @@ def test_bloom_decontaminate_positions_join_is_broadcast(spark):
     # shuffle of the corpus's exploded positions
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q5_star_join_broadcasts_dimensions(spark):
+    import __spark_entry__ as e
+    plan = e.queries()["q5_local_supplier_volume"](spark, "/root/testdata/sf0.001")\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # the two fact-fact joins shuffle; dims must NOT force extra SMJs:
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 3, plan
+
+
+def test_q3_filters_reach_the_scans(spark):
+    import __spark_entry__ as e
+    plan = e.queries()["q3_shipping_priority"](spark, "/root/testdata/sf0.001")\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "pushedFilters" in plan, plan[:2000]
+    for frag in ("c_mktsegment", "o_orderdate", "l_shipdate"):
+        assert frag in plan, frag

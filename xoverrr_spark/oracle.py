@@ -1716,3 +1716,52 @@ FROM x
 WHERE ts >= ws AND ts < ws + INTERVAL {SLIDE_WINDOW_S} SECOND
 GROUP BY 1, 2, 3
 """
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1996-06-01"
+
+
+def q3_shipping_priority() -> str:
+    """TPC-H Q3 shape: 3-table join, pre-join filters on both fact sides,
+    top-10 by revenue with deterministic tiebreak."""
+    return f"""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       o.o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < DATE '{Q3_DATE}'
+  AND l.l_shipdate > DATE '{Q3_DATE}'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+Q5_REGION = "ASIA"
+Q5_YEAR_LO = "1996-01-01"
+Q5_YEAR_HI = "1997-01-01"
+
+
+def q5_local_supplier_volume() -> str:
+    """TPC-H Q5 shape: 6-table star join with the local-supplier condition
+    (supplier nation == customer nation) — the Catalyst join-ordering /
+    broadcast showcase."""
+    return f"""
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= DATE '{Q5_YEAR_LO}'
+  AND o.o_orderdate < DATE '{Q5_YEAR_HI}'
+GROUP BY n.n_name
+"""
