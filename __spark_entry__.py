@@ -336,6 +336,15 @@ def q_profile_drift(spark, sf_dir):
     return profile_drift(src, trg, oracle.PROFILE_ORDERS_COLS)
 
 
+def q_histogram_orders(spark, sf_dir):
+    from xoverrr_spark.operators.profile import histogram
+
+    return histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice",
+        oracle.HIST_LO, oracle.HIST_HI, oracle.HIST_BINS,
+    )
+
+
 def q_session_stats(spark, sf_dir):
     from xoverrr_spark.operators.counts import session_stats
 
@@ -1008,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_counts_events": q_sliding_counts,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
+        "histogram_orders": q_histogram_orders,
     }
 
 
@@ -1082,4 +1092,5 @@ def oracle_sql() -> dict[str, str]:
         "sliding_counts_events": oracle.sliding_counts_events(),
         "q3_shipping_priority": oracle.q3_shipping_priority(),
         "q5_local_supplier_volume": oracle.q5_local_supplier_volume(),
+        "histogram_orders": oracle.histogram_orders(),
     }

@@ -60,3 +60,25 @@ def test_profile_drift_zero_row_side_rates(spark):
     trg = src.filter("id < 0")
     got = {r.column_name: r for r in profile_drift(src, trg).collect()}
     assert got["v"].trg_rows == 0 and got["v"].trg_null_rate == 0.0
+
+
+def test_histogram_clamps_and_counts(spark):
+    from xoverrr_spark.operators.profile import histogram
+    rows = [(float(v),) for v in [-5, 0, 1, 9, 10, 15, 99, 100, 250]] + [(None,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = {r.bin: (r.cnt, r.bin_lo, r.bin_hi) for r in
+           histogram(df, "v", 0.0, 100.0, 10).collect()}
+    # -5 clamps into bin 0; 100 and 250 clamp into bin 9; null excluded
+    assert got[0] == (4, 0.0, 10.0)      # -5, 0, 1, 9
+    assert got[1][0] == 2                # 10, 15
+    assert got[9][0] == 3                # 99, 100, 250
+    assert sum(c for c, *_ in got.values()) == 9
+
+
+def test_schema_diff_statuses(spark):
+    from xoverrr_spark.operators.profile import schema_diff
+    src = spark.createDataFrame([], "a bigint, b string, c double")
+    trg = spark.createDataFrame([], "a bigint, b int, d string")
+    got = {r["column"]: r["status"] for r in schema_diff(src, trg)}
+    assert got == {"a": "common", "b": "type_mismatch",
+                   "c": "src_only", "d": "trg_only"}

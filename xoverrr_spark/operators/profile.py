@@ -185,3 +185,55 @@ def profile_drift(
         rate("src_nulls", "src_rows").alias("src_null_rate"),
         rate("trg_nulls", "trg_rows").alias("trg_null_rate"),
     )
+
+
+def histogram(
+    df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col`` over [lo, hi): (bin, bin_lo,
+    bin_hi, cnt). Values below lo clamp to bin 0, at/above hi to the last
+    bin; nulls are excluded (their count is profile()'s job). One groupBy
+    with map-side combine — the profiling companion to quantiles().
+
+    Bin arithmetic is the single double chain floor((x-lo)/w) clamped —
+    identical op order in the DuckDB twin."""
+    if n_bins <= 0 or not hi > lo:
+        raise ValueError("need n_bins > 0 and hi > lo")
+    w = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("bigint")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("bin_hi"),
+            "cnt",
+        )
+    )
+
+
+def schema_diff(src: DataFrame, trg: DataFrame) -> list[dict]:
+    """Schema contract check: per-column presence + type comparison between
+    two frames (the metadata half of the reference's column comparison,
+    /root/reference/src/xoverrr/core.py:1610-1640 common-column
+    derivation). Driver-side (schemas are metadata, no job runs):
+    [{column, src_type, trg_type, status}] with status in
+    common/type_mismatch/src_only/trg_only, in src-then-trg column order."""
+    s = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+    t = {f.name: f.dataType.simpleString() for f in trg.schema.fields}
+    out = []
+    for name in list(s) + [n for n in t if n not in s]:
+        st, tt = s.get(name), t.get(name)
+        if st is not None and tt is not None:
+            status = "common" if st == tt else "type_mismatch"
+        elif st is not None:
+            status = "src_only"
+        else:
+            status = "trg_only"
+        out.append(
+            {"column": name, "src_type": st, "trg_type": tt, "status": status}
+        )
+    return out

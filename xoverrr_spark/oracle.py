@@ -1765,3 +1765,26 @@ WHERE r.r_name = '{Q5_REGION}'
   AND o.o_orderdate < DATE '{Q5_YEAR_HI}'
 GROUP BY n.n_name
 """
+
+
+HIST_LO = 0.0
+HIST_HI = 600000.0
+HIST_BINS = 12
+
+
+def histogram_orders() -> str:
+    """Twin of profile.histogram over o_totalprice: identical
+    floor((x-lo)/w) chain, clamped to [0, n_bins-1]."""
+    w = repr((HIST_HI - HIST_LO) / HIST_BINS)
+    return f"""
+WITH b AS (
+  SELECT LEAST(GREATEST(CAST(floor((o_totalprice - {HIST_LO!r}) / {w}) AS BIGINT),
+               0), {HIST_BINS - 1}) AS bin
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT bin,
+       {HIST_LO!r} + bin * {w} AS bin_lo,
+       {HIST_LO!r} + (bin + 1) * {w} AS bin_hi,
+       COUNT(*) AS cnt
+FROM b GROUP BY bin
+"""
