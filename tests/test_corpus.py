@@ -274,3 +274,28 @@ def test_chunk_documents_reconstructs_with_disjoint_stride(spark):
         F.col("rebuilt") != F.concat_ws(" ", F.split(F.trim("text"), r"\s+"))
     ).count()
     assert bad == 0
+
+
+def test_chunk_documents_matches_python_twin_property(spark):
+    from hypothesis import HealthCheck, given, settings, strategies as st
+    from xoverrr_spark.operators.corpus import chunk_documents
+
+    words = st.lists(st.sampled_from(["aa", "b", "ccc"]), min_size=0, max_size=12)
+
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=st.lists(words, min_size=1, max_size=5),
+           max_tokens=st.integers(1, 6), stride_off=st.integers(0, 5))
+    def run(docs, max_tokens, stride_off):
+        stride = max(1, max_tokens - stride_off % max_tokens)
+        rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = sorted((r.doc_id, r.chunk_idx, r.chunk_text) for r in
+                     chunk_documents(df, max_tokens, stride).collect())
+        want = []
+        for i, w in enumerate(docs):
+            for k, s in enumerate(range(0, len(w), stride)):
+                want.append((i, k, " ".join(w[s:s + max_tokens])))
+        assert got == sorted(want)
+
+    run()
