@@ -123,3 +123,28 @@ def test_incremental_job_resume_skips_done_stages(spark, tmp_path):
     msgs = []
     run_incremental_dedup(spark, batch, idx, out, log=msgs.append)
     assert sum("skipping" in m for m in msgs) == 6  # all six stages skipped
+
+
+def test_two_batch_ingestion_loop_closure(spark, tmp_path):
+    """Batch 2 re-submitting docs ACCEPTED in batch 1 must see them as
+    corpus dups once the index delta is appended — the loop is closed."""
+    from xoverrr_spark.pipeline.dedup_runner import (
+        append_index_delta, build_dedup_index, run_incremental_dedup)
+
+    corpus = _docs(spark)
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, corpus, idx, log=lambda *_: None)
+
+    b1 = _batch(spark)
+    out1 = str(tmp_path / "b1")
+    s1 = run_incremental_dedup(spark, b1, idx, out1, log=lambda *_: None)
+    assert s1["accepted"] > 0
+    append_index_delta(spark, idx, f"{out1}/index_delta")
+
+    # batch 2 = exact copies of batch 1's ACCEPTED docs under new ids
+    accepted = spark.read.parquet(f"{out1}/accepted")
+    b2 = accepted.selectExpr("doc_id + 5000000 AS doc_id", "text")
+    out2 = str(tmp_path / "b2")
+    s2 = run_incremental_dedup(spark, b2, idx, out2, log=lambda *_: None)
+    assert s2["accepted"] == 0
+    assert s2["exact_dropped"] == s1["accepted"]

@@ -338,3 +338,15 @@ def run_incremental_dedup(
 
 if __name__ == "__main__":
     main()
+
+
+def append_index_delta(spark: SparkSession, index_dir: str, delta_dir: str) -> None:
+    """Fold a batch's ``index_delta`` into the corpus index — the commit
+    step of the ingestion loop (build_dedup_index once, then per batch:
+    run_incremental_dedup -> append_index_delta). Parquet append per
+    table; the fingerprint table may accumulate cross-batch duplicates
+    harmlessly (it is only ever semi-joined)."""
+    for name in ("fingerprints", "shingles", "signatures"):
+        spark.read.parquet(os.path.join(delta_dir, name)).write.mode(
+            "append"
+        ).parquet(os.path.join(index_dir, name))
