@@ -154,7 +154,8 @@ def main(argv=None) -> None:
     ap.add_argument("--max-bucket-size", type=int, default=D.DEFAULT_MAX_BUCKET,
                     help="LSH bucket cap; 0 disables (exact recall, unbounded worst case)")
     ap.add_argument("--no-resume", action="store_true")
-    ap.add_argument("--mode", choices=["full", "build-index", "incremental"],
+    ap.add_argument("--mode",
+                    choices=["full", "build-index", "incremental", "append-delta"],
                     default="full",
                     help="full: one-shot corpus dedup; build-index: write the "
                     "fingerprint/shingle/signature index for --input; "
@@ -168,6 +169,14 @@ def main(argv=None) -> None:
     from ..session import get_spark
 
     spark = get_spark("xoverrr_dedup")
+    if args.mode == "append-delta":
+        if not args.index_dir:
+            ap.error("--mode append-delta requires --index-dir")
+        # --input is the batch OUTPUT dir holding index_delta/
+        append_index_delta(spark, args.index_dir,
+                           os.path.join(args.input, "index_delta"))
+        print(json.dumps({"appended": args.input, "index_dir": args.index_dir}))
+        return
     docs = spark.read.parquet(args.input)
     if args.mode == "build-index":
         summary = build_dedup_index(
@@ -336,8 +345,6 @@ def run_incremental_dedup(
         json.dump(summary, fh, indent=2)
     return summary
 
-if __name__ == "__main__":
-    main()
 
 
 def append_index_delta(spark: SparkSession, index_dir: str, delta_dir: str) -> None:
@@ -350,3 +357,7 @@ def append_index_delta(spark: SparkSession, index_dir: str, delta_dir: str) -> N
         spark.read.parquet(os.path.join(delta_dir, name)).write.mode(
             "append"
         ).parquet(os.path.join(index_dir, name))
+
+
+if __name__ == "__main__":
+    main()
