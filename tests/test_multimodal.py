@@ -188,3 +188,46 @@ def test_phash_robust_across_codecs(spark):
     pairs = [(r.img_a, r.img_b, r.hamming) for r in got.collect()]
     release_intermediates(got)
     assert pairs and pairs[0][2] <= 4, pairs
+
+
+# ------------------------------------------------------------ audio/video ----
+
+def test_audio_features_windows_match_numpy(spark):
+    import numpy as np
+    from xoverrr_spark.operators.multimodal import audio_features
+    t = np.arange(3000) / 16000.0
+    sine = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    silence = np.zeros(1500, dtype="<i2")
+    rows = [("sine", sine.tobytes()), ("quiet", silence.tobytes()),
+            ("dead", None), ("short", b"\x01")]
+    df = spark.createDataFrame(rows, "clip_id string, pcm binary")
+    got = {}
+    for r in audio_features(df, window_samples=1024).collect():
+        got.setdefault(r.clip_id, []).append(r)
+    # sine: 3 windows (1024,1024,952); RMS ~ 0.5/sqrt(2); zcr > 0
+    s = sorted(got["sine"], key=lambda r: r.window_idx)
+    assert [r.n_samples for r in s] == [1024, 1024, 952]
+    assert abs(s[0].rms - 0.5 / np.sqrt(2)) < 0.01 and s[0].zcr > 0.02
+    # silence: rms 0, zcr 0
+    assert all(r.rms == 0.0 and r.zcr == 0.0 for r in got["quiet"])
+    # degenerate payloads: one null-feature row each, no crash
+    assert got["dead"][0].rms is None and got["short"][0].rms is None
+
+
+def test_sample_frames_every_n_and_error_rows(spark):
+    import numpy as np
+    from xoverrr_spark.operators.multimodal import (
+        encode_rawvideo, sample_frames)
+    frames = np.arange(25 * 4 * 6 * 3, dtype=np.uint8).reshape(25, 4, 6, 3)
+    rows = [("v1", encode_rawvideo(frames)),
+            ("bad", b"NOTAVIDEO"), ("dead", None)]
+    df = spark.createDataFrame(rows, "video_id string, video binary")
+    got = {}
+    for r in sample_frames(df, every_n=10).collect():
+        got.setdefault(r.video_id, []).append(r)
+    v = sorted(got["v1"], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in v] == [0, 10, 20]
+    assert all((r.w, r.h) == (6, 4) for r in v)
+    assert bytes(v[1].frame) == frames[10].tobytes()
+    assert got["bad"][0].frame_idx == -1 and got["bad"][0].frame is None
+    assert got["dead"][0].frame_idx == -1

@@ -228,3 +228,109 @@ def phash_near_dups(
     return _attach_intermediates(
         pairs.filter(F.col("hamming") <= max_hamming), [bt]
     )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "clip_id string, window_idx int, n_samples int, rms double, zcr double"
+)
+
+
+def audio_features(
+    df: DataFrame,
+    window_samples: int = 1024,
+    id_col: str = "clip_id",
+    bytes_col: str = "pcm",
+) -> DataFrame:
+    """Windowed audio features over raw 16-bit mono PCM bytes: per window
+    of ``window_samples`` samples, RMS level (normalized to [0,1]) and
+    zero-crossing rate — the standard cheap speech/music/silence signals a
+    training pipeline filters on (silence trimming, clipping detection).
+
+    REAL computation (int16 decode + numpy is library-free); only
+    container demuxing (mp3/ogg/flac) would need codecs absent from this
+    environment — feed decoded PCM. mapInPandas, no shuffle; one clip
+    fans out to its windows inside the worker (same batch shape as the
+    image ops). Null/odd-length payloads yield a single null-feature row
+    rather than a crash (failed-download discipline)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for cid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None or len(blob) < 2:
+                    recs.append((cid, None, None, None, None))
+                    continue
+                pcm = np.frombuffer(bytes(blob)[: len(blob) - len(blob) % 2],
+                                    dtype="<i2").astype(np.float64) / 32768.0
+                for wi in range(0, max(len(pcm), 1), window_samples):
+                    w = pcm[wi:wi + window_samples]
+                    if w.size == 0:
+                        continue
+                    zc = float(np.mean(np.abs(np.diff(np.signbit(w))))) if w.size > 1 else 0.0
+                    recs.append(
+                        (cid, wi // window_samples, int(w.size),
+                         float(np.sqrt(np.mean(w * w))), zc)
+                    )
+            yield pd.DataFrame(
+                recs, columns=["clip_id", "window_idx", "n_samples", "rms", "zcr"]
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(bytes_col).alias(bytes_col)
+    ).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+# Synthetic raw-video container: 12-byte header (w, h, n_frames as <u4)
+# followed by n_frames raw RGB frames. Real video codecs need libraries
+# absent from this container — the FORMAT is a deterministic stand-in, the
+# Spark plumbing (binary -> exploded frame rows, metadata, batch shape) is
+# the real artifact and is what a libav-backed decoder would plug into.
+RAWVIDEO_MAGIC = b"RVID"
+FRAME_SAMPLE_SCHEMA = (
+    "video_id string, frame_idx int, w int, h int, frame binary"
+)
+
+
+def encode_rawvideo(frames: np.ndarray) -> bytes:
+    """frames: (n, h, w, 3) uint8 -> RVID container bytes."""
+    n, h, w, _ = frames.shape
+    head = RAWVIDEO_MAGIC + np.array([w, h, n], dtype="<u4").tobytes()
+    return head + frames.tobytes()
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    id_col: str = "video_id",
+    bytes_col: str = "video",
+) -> DataFrame:
+    """Frame sampling: explode every ``every_n``-th frame of each video as
+    (video_id, frame_idx, w, h, frame bytes) — the decode-side fan-out a
+    caption/embedding stage consumes. Unknown containers raise
+    NotImplementedError per clip into an error row (null frame, idx -1);
+    null payloads likewise never crash the stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for vid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    recs.append((vid, -1, None, None, None))
+                    continue
+                b = bytes(blob)
+                if b[:4] != RAWVIDEO_MAGIC:
+                    # a real deployment would dispatch to libav here
+                    recs.append((vid, -1, None, None, None))
+                    continue
+                w, h, n = np.frombuffer(b[4:16], dtype="<u4")
+                fsz = int(w) * int(h) * 3
+                for i in range(0, int(n), every_n):
+                    off = 16 + i * fsz
+                    recs.append((vid, i, int(w), int(h), b[off:off + fsz]))
+            yield pd.DataFrame(
+                recs, columns=["video_id", "frame_idx", "w", "h", "frame"]
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(bytes_col).alias(bytes_col)
+    ).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
