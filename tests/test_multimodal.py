@@ -231,3 +231,15 @@ def test_sample_frames_every_n_and_error_rows(spark):
     assert bytes(v[1].frame) == frames[10].tobytes()
     assert got["bad"][0].frame_idx == -1 and got["bad"][0].frame is None
     assert got["dead"][0].frame_idx == -1
+
+
+def test_sample_frames_truncated_container_is_error_row(spark):
+    import numpy as np
+    from xoverrr_spark.operators.multimodal import (
+        encode_rawvideo, sample_frames)
+    frames = np.zeros((5, 2, 2, 3), dtype=np.uint8)
+    full = encode_rawvideo(frames)
+    rows = [("trunc", full[: len(full) - 7])]
+    df = spark.createDataFrame(rows, "video_id string, video binary")
+    got = sample_frames(df, every_n=1).collect()
+    assert len(got) == 1 and got[0].frame_idx == -1 and got[0].frame is None

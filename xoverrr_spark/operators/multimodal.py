@@ -324,6 +324,11 @@ def sample_frames(
                     continue
                 w, h, n = np.frombuffer(b[4:16], dtype="<u4")
                 fsz = int(w) * int(h) * 3
+                if len(b) < 16 + int(n) * fsz:
+                    # truncated container (interrupted upload): error row,
+                    # never a short/garbage frame passed downstream
+                    recs.append((vid, -1, None, None, None))
+                    continue
                 for i in range(0, int(n), every_n):
                     off = 16 + i * fsz
                     recs.append((vid, i, int(w), int(h), b[off:off + fsz]))

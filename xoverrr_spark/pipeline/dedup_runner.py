@@ -279,7 +279,12 @@ def run_incremental_dedup(
     os.makedirs(output_dir, exist_ok=True)
     fps = spark.read.parquet(os.path.join(index_dir, "fingerprints"))
     corpus_sh = spark.read.parquet(os.path.join(index_dir, "shingles"))
-    corpus_sigs = spark.read.parquet(os.path.join(index_dir, "signatures"))
+    # a retried append_index_delta can leave duplicate rows; every index
+    # consumer is set-semantics EXCEPT the bucket-size cap (window counts
+    # would inflate and over-cap healthy buckets) — dedup signatures here
+    corpus_sigs = spark.read.parquet(
+        os.path.join(index_dir, "signatures")
+    ).dropDuplicates(["doc_id"])
 
     exact_p = _stage(
         "exact_survivors", output_dir, resume,
