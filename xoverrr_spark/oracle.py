@@ -393,15 +393,28 @@ GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 
-_SHINGLES_CTE = r"""
-w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words FROM documents),
+def _shingle_fold(wh: str, i: str, n: int = 3) -> str:
+    """Left-assoc rolling fold h=(h*P + w)%M over n word hashes, 0-padded
+    past the end — the EXACT integer chain shingle_table runs."""
+    from xoverrr_spark.operators.dedup import SHINGLE_P
+
+    acc = "0"
+    for j in range(n):
+        w = f"{wh}[{i} + {j}]" if j else f"{wh}[{i}]"
+        acc = f"(({acc}) * {SHINGLE_P} + COALESCE({w}, 0)) % {MINHASH_MOD}"
+    return acc
+
+
+_SHINGLES_CTE = rf"""
+w AS (SELECT doc_id,
+             list_transform(string_split_regex(trim(lower(text)), '\s+'),
+                            t -> ('0x' || substr(md5(t), 1, 10))::BIGINT) AS wh
+      FROM documents),
 sh0 AS (
-  SELECT w.doc_id,
-         CASE WHEN len(w.words) >= 3 THEN array_to_string(w.words[g.i:g.i+2], ' ')
-              ELSE array_to_string(w.words, ' ') END AS shingle
-  FROM w, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(w.words) - 2, 1))) AS i) g
+  SELECT w.doc_id, {_shingle_fold('w.wh', 'g.i')} AS x
+  FROM w, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(w.wh) - 2, 1))) AS i) g
 ),
-sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 10))::BIGINT AS x FROM sh0)"""
+sh AS (SELECT DISTINCT doc_id, x FROM sh0)"""
 
 
 def minhash_signatures_documents(num_hashes: int = 16) -> str:
@@ -1396,14 +1409,15 @@ INCR_JACCARD = 0.7
 def _shingles_sql(table: str, tag: str) -> str:
     """Parameterized twin of _SHINGLES_CTE over an arbitrary CTE/table."""
     return rf"""
-w{tag} AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words FROM {table}),
+w{tag} AS (SELECT doc_id,
+             list_transform(string_split_regex(trim(lower(text)), '\s+'),
+                            t -> ('0x' || substr(md5(t), 1, 10))::BIGINT) AS wh
+      FROM {table}),
 sh0{tag} AS (
-  SELECT w.doc_id,
-         CASE WHEN len(w.words) >= 3 THEN array_to_string(w.words[g.i:g.i+2], ' ')
-              ELSE array_to_string(w.words, ' ') END AS shingle
-  FROM w{tag} w, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(w.words) - 2, 1))) AS i) g
+  SELECT w.doc_id, {_shingle_fold('w.wh', 'g.i')} AS x
+  FROM w{tag} w, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(w.wh) - 2, 1))) AS i) g
 ),
-sh{tag} AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 10))::BIGINT AS x FROM sh0{tag})"""
+sh{tag} AS (SELECT DISTINCT doc_id, x FROM sh0{tag})"""
 
 
 def incremental_dedup_documents(num_hashes: int = 16, bands: int = 4) -> str:
