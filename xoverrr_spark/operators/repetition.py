@@ -34,7 +34,10 @@ from pyspark.sql import functions as F
 
 
 def word_bigrams(text: Column) -> Column:
-    """Adjacent word 2-grams of lower-cased, whitespace-split text.
+    """Adjacent word 2-grams of lower-cased, whitespace-split text (string
+    form — readable keys for tests/reporting; the stats path uses the
+    hashed form below, which shuffles longs instead of building a string
+    per bigram).
 
     Documents with fewer than two words yield an EMPTY array (never a
     whole-text fallback — a one-word doc has no repetition signal). The
@@ -61,8 +64,30 @@ def repetition_stats(
     ``(id_col, n_bigrams, dup_bigrams, top_count, dup_bigram_frac,
     top_bigram_frac)``.
     """
-    inst = docs.select(
-        F.col(id_col), F.explode(word_bigrams(F.col(text_col))).alias("bigram")
+    # hashed bigram keys, same trick as dedup.shingle_table: each word
+    # md5-hashed ONCE into a materialized array (withColumn — a lambda-
+    # captured tree re-evaluates per element_at), pairs combined with the
+    # shared integer fold. The key universe is identical in the DuckDB
+    # twin, so collisions (which would merge two bigrams) replay exactly.
+    from .dedup import MINHASH_MOD, SHINGLE_P, md5_long40
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    with_wh = docs.select(
+        F.col(id_col),
+        F.transform(words, lambda w: md5_long40(w)).alias("_wh"),
+    )
+    wh = F.col("_wh")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(wh) - 1, F.lit(1))),
+        lambda i: (
+            F.element_at(wh, i) * SHINGLE_P
+            + F.coalesce(F.try_element_at(wh, i + 1), F.lit(0))
+        ) % MINHASH_MOD,
+    )
+    empty = F.array().cast("array<bigint>")
+    inst = with_wh.select(
+        F.col(id_col),
+        F.explode(F.when(F.size(wh) >= 2, grams).otherwise(empty)).alias("bigram"),
     )
     per_bigram = inst.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("c"))
     per_doc = per_bigram.groupBy(id_col).agg(

@@ -1630,14 +1630,16 @@ dd AS (
   ) WHERE rn = 1
 ),
 wds AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words
+  SELECT doc_id,
+         list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+                        t -> ('0x' || substr(md5(t), 1, 10))::BIGINT) AS wh
   FROM dd WHERE text IS NOT NULL
 ),
 bg AS (
   SELECT doc_id,
-         unnest(list_transform(generate_series(1, len(words) - 1),
-                               i -> words[i] || ' ' || words[i + 1])) AS bigram
-  FROM wds WHERE len(words) >= 2
+         unnest(list_transform(generate_series(1, len(wh) - 1),
+                i -> (wh[i] * 1000003 + COALESCE(wh[i + 1], 0)) % 1099511627776)) AS bigram
+  FROM wds WHERE len(wh) >= 2
 ),
 bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
 rep AS (
