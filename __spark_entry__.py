@@ -930,6 +930,34 @@ def q_pack_documents(spark, sf_dir):
     )
 
 
+def q_pii_counts(spark, sf_dir):
+    """Per-source PII incidence of the scrub battery's patterns over a
+    derived corpus with deterministically injected emails/phones."""
+    from xoverrr_spark.functions.scrub import has_email, has_phone
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            k % 4 == 0,
+            F.concat(F.lit(" contact user"), k.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 5 == 0,
+            F.concat(
+                F.lit(" call +1 (555) 010-"), (1000 + k % 9000).cast("string")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d2 = d.select("doc_id", "source", text.alias("text"))
+    return d2.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.count(F.when(has_email(F.col("text")), 1)).alias("email_docs"),
+        F.count(F.when(has_phone(F.col("text")), 1)).alias("phone_docs"),
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     from xoverrr_spark.operators.repetition import repetition_stats
 
@@ -1018,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "histogram_orders": q_histogram_orders,
+        "pii_counts_documents": q_pii_counts,
     }
 
 
@@ -1093,4 +1122,5 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": oracle.q3_shipping_priority(),
         "q5_local_supplier_volume": oracle.q5_local_supplier_volume(),
         "histogram_orders": oracle.histogram_orders(),
+        "pii_counts_documents": oracle.pii_counts_documents(),
     }

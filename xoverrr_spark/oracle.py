@@ -1804,3 +1804,28 @@ SELECT bin,
        COUNT(*) AS cnt
 FROM b GROUP BY bin
 """
+
+
+def pii_counts_documents() -> str:
+    """Twin of q_pii_counts: per-source incidence of the scrub battery's
+    EMAIL/PHONE patterns over a derived corpus with deterministic injected
+    PII (%4 -> an email, %5 -> a phone). regexp_matches == Java
+    Pattern.find on the RE2 ∩ Java-regex subset rulespec enforces."""
+    return rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call +1 (555) 010-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS total_docs,
+       COUNT(CASE WHEN regexp_matches(text, '{R.EMAIL_RE}') THEN 1 END) AS email_docs,
+       COUNT(CASE WHEN regexp_matches(text, '{R.PHONE_RE}') THEN 1 END) AS phone_docs
+FROM d GROUP BY source
+"""
