@@ -930,6 +930,14 @@ def q_pack_documents(spark, sf_dir):
     )
 
 
+def q_key_skew(spark, sf_dir):
+    from xoverrr_spark.operators.profile import key_skew_stats
+
+    return key_skew_stats(
+        _t(spark, sf_dir, "lineitem"), ["l_orderkey"], oracle.SKEW_TOP_K
+    )
+
+
 def q_pii_counts(spark, sf_dir):
     """Per-source PII incidence of the scrub battery's patterns over a
     derived corpus with deterministically injected emails/phones."""
@@ -1047,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "histogram_orders": q_histogram_orders,
         "pii_counts_documents": q_pii_counts,
+        "key_skew_lineitem": q_key_skew,
     }
 
 
@@ -1123,4 +1132,5 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier_volume": oracle.q5_local_supplier_volume(),
         "histogram_orders": oracle.histogram_orders(),
         "pii_counts_documents": oracle.pii_counts_documents(),
+        "key_skew_lineitem": oracle.key_skew_lineitem(),
     }

@@ -82,3 +82,14 @@ def test_schema_diff_statuses(spark):
     got = {r["column"]: r["status"] for r in schema_diff(src, trg)}
     assert got == {"a": "common", "b": "type_mismatch",
                    "c": "src_only", "d": "trg_only"}
+
+
+def test_key_skew_stats_flags_hot_and_null_keys(spark):
+    from pyspark.sql import functions as F
+    from xoverrr_spark.operators.profile import key_skew_stats
+    rows = [(1, "x")] * 50 + [(None, "n")] * 30 + [(i + 10, "y") for i in range(20)]
+    df = spark.createDataFrame(rows, "k bigint, v string")
+    got = key_skew_stats(df, ["k"], top_k=3).collect()
+    assert [r.k for r in got[:2]] == [1, None]
+    assert got[0].cnt == 50 and got[0].share == 0.5
+    assert got[1].cnt == 30   # the accidental-null-skew case is visible

@@ -237,3 +237,31 @@ def schema_diff(src: DataFrame, trg: DataFrame) -> list[dict]:
             {"column": name, "src_type": st, "trg_type": tt, "status": status}
         )
     return out
+
+
+def key_skew_stats(
+    df: DataFrame, keys: list[str], top_k: int = 20
+) -> DataFrame:
+    """Top-``top_k`` heaviest join-key groups with their share of all rows
+    — the pre-flight check before any large join/groupBy (one key holding
+    5% of a 10^11-row table means one reducer gets 5*10^9 rows; better to
+    know BEFORE the shuffle and pick salting/broadcast/AQE-skew handling).
+
+    One groupBy (map-side combined) + distributed top-k
+    (TakeOrderedAndProject — never a global sort) + a broadcast single-row
+    total. Null keys count as a real group (they hash to one reducer like
+    any other value — the classic accidental-skew case).
+
+    Returns (keys..., cnt, share) ordered by cnt desc, keys.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    top = counts.orderBy(F.desc("cnt"), *keys).limit(top_k)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            *keys, "cnt",
+            (F.col("cnt") * F.lit(1.0) / F.col("_total")).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), *keys)
+    )

@@ -1829,3 +1829,20 @@ SELECT source,
        COUNT(CASE WHEN regexp_matches(text, '{R.PHONE_RE}') THEN 1 END) AS phone_docs
 FROM d GROUP BY source
 """
+
+
+SKEW_TOP_K = 20
+
+
+def key_skew_lineitem() -> str:
+    """Twin of profile.key_skew_stats over lineitem's join key."""
+    return f"""
+WITH c AS (
+  SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey
+),
+t AS (SELECT COUNT(*) AS total FROM lineitem)
+SELECT c.l_orderkey, c.cnt, c.cnt * 1.0 / t.total AS share
+FROM c, t
+ORDER BY c.cnt DESC, c.l_orderkey
+LIMIT {SKEW_TOP_K}
+"""
