@@ -930,6 +930,24 @@ def q_pack_documents(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS via spark.sql — the declarative SQL path end-to-end
+    (every other query uses the DataFrame API; Catalyst plans both the
+    same way, and the DuckDB twin runs the identical ANSI text)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(CAST(ts AS DATE) AS STRING), 'ALL') AS dt,
+               COUNT(*) AS cnt,
+               CAST(grouping(event_type) AS INT) AS g_type,
+               CAST(grouping(CAST(ts AS DATE)) AS INT) AS g_dt
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+        """
+    )
+
+
 def q_key_skew(spark, sf_dir):
     from xoverrr_spark.operators.profile import key_skew_stats
 
@@ -1056,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_orders": q_histogram_orders,
         "pii_counts_documents": q_pii_counts,
         "key_skew_lineitem": q_key_skew,
+        "grouping_sets_events": q_grouping_sets,
     }
 
 
@@ -1133,4 +1152,5 @@ def oracle_sql() -> dict[str, str]:
         "histogram_orders": oracle.histogram_orders(),
         "pii_counts_documents": oracle.pii_counts_documents(),
         "key_skew_lineitem": oracle.key_skew_lineitem(),
+        "grouping_sets_events": oracle.grouping_sets_events(),
     }

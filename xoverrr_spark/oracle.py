@@ -1846,3 +1846,18 @@ FROM c, t
 ORDER BY c.cnt DESC, c.l_orderkey
 LIMIT {SKEW_TOP_K}
 """
+
+
+def grouping_sets_events() -> str:
+    """Twin of q_grouping_sets (which runs Spark SQL verbatim — the one
+    query exercised through spark.sql rather than the DataFrame API; both
+    engines speak the same ANSI GROUPING SETS)."""
+    return """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS dt,
+       COUNT(*) AS cnt,
+       CAST(grouping(event_type) AS INTEGER) AS g_type,
+       CAST(grouping(CAST(ts AS DATE)) AS INTEGER) AS g_dt
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+"""
