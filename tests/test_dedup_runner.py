@@ -62,7 +62,7 @@ def test_staged_dedup_resume_skips_completed_stages(spark, tmp_path):
         spark, docs, out, jaccard_threshold=0.8,
         log=lambda m: skipped.append(m),
     )
-    assert sum("skipping" in m for m in skipped) == 6  # all six stages
+    assert sum("skipping" in m for m in skipped) == 7  # all seven stages
 
 
 # ------------------------------------------------- incremental ingestion ----
@@ -148,3 +148,20 @@ def test_two_batch_ingestion_loop_closure(spark, tmp_path):
     s2 = run_incremental_dedup(spark, b2, idx, out2, log=lambda *_: None)
     assert s2["accepted"] == 0
     assert s2["exact_dropped"] == s1["accepted"]
+
+
+def test_full_dedup_writes_kept_corpus(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from xoverrr_spark.pipeline.dedup_runner import run_dedup
+    d = _docs(spark)
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 900000).alias("doc_id"), "text",
+                 "lang", "source", "n_chars"))
+    out = str(tmp_path / "full")
+    summary = run_dedup(spark, doubled, out, jaccard_threshold=0.8,
+                        log=lambda *_: None)
+    kept = spark.read.parquet(f"{out}/kept")
+    assert kept.count() == summary["kept_docs"]
+    assert set(kept.columns) == set(doubled.columns)   # FULL rows
+    # every exact clone pair collapsed to one survivor
+    assert kept.count() <= d.count() + 50

@@ -116,6 +116,19 @@ def run_dedup(
 
     surv_p = _stage("survivors", output_dir, resume, _survivors, log)
 
+    def _kept():
+        # the PRODUCT: full rows of the deduped corpus — unclustered docs
+        # pass through, clustered docs keep only their chosen survivor.
+        # One anti-join against the (small) dropped-id set; the corpus is
+        # never shuffled on its own columns.
+        surv_ids = spark.read.parquet(surv_p).select("doc_id")
+        dropped = clusters.join(surv_ids, "doc_id", "left_anti").select(
+            F.col("doc_id").alias(id_col)
+        )
+        return docs.join(dropped, id_col, "left_anti")
+
+    _stage("kept", output_dir, resume, _kept, log)
+
     # summary: clustered docs collapse to one survivor each; docs never
     # paired (the vast majority) are implicitly their own survivor
     n_docs = docs.count()
