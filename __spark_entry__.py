@@ -948,6 +948,37 @@ def q_grouping_sets(spark, sf_dir):
     )
 
 
+def q_id_gaps(spark, sf_dir):
+    """Holes in a key sequence (engineered: %97 keys removed) — the
+    completeness check behind 'did the extract skip rows'. Global lead
+    window over keys only (longs), never the full rows; at real scale run
+    per partition-range so no single task sorts everything."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 != 0)
+    w = Window.orderBy("o_orderkey")
+    s = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.lead("o_orderkey").over(w).alias("nxt"),
+    )
+    return s.filter(F.col("nxt") - F.col("k") > 1).select(
+        (F.col("k") + 1).alias("gap_start"),
+        (F.col("nxt") - 1).alias("gap_end"),
+        (F.col("nxt") - F.col("k") - 1).alias("missing"),
+    )
+
+
+def q_unpivot(spark, sf_dir):
+    """Wide per-type daily counts melted back to long form via the
+    built-in unpivot (the inverse of q_pivot_events_by_day)."""
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.groupBy(F.col("ts").cast("date").alias("dt")).agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+            for t in ("click", "view", "error")
+        ]
+    )
+    return wide.unpivot(["dt"], ["click", "view", "error"], "event_type", "val")
+
+
 def q_key_skew(spark, sf_dir):
     from xoverrr_spark.operators.profile import key_skew_stats
 
@@ -1075,6 +1106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_counts_documents": q_pii_counts,
         "key_skew_lineitem": q_key_skew,
         "grouping_sets_events": q_grouping_sets,
+        "id_gaps_orders": q_id_gaps,
+        "unpivot_events_metrics": q_unpivot,
     }
 
 
@@ -1153,4 +1186,6 @@ def oracle_sql() -> dict[str, str]:
         "pii_counts_documents": oracle.pii_counts_documents(),
         "key_skew_lineitem": oracle.key_skew_lineitem(),
         "grouping_sets_events": oracle.grouping_sets_events(),
+        "id_gaps_orders": oracle.id_gaps_orders(),
+        "unpivot_events_metrics": oracle.unpivot_events_metrics(),
     }

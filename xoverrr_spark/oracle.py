@@ -1861,3 +1861,32 @@ SELECT COALESCE(event_type, 'ALL') AS event_type,
 FROM events
 GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
 """
+
+
+def id_gaps_orders() -> str:
+    """Twin of q_id_gaps: holes in the o_orderkey sequence via lead()."""
+    return """
+WITH s AS (
+  SELECT o_orderkey AS k,
+         LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT k + 1 AS gap_start, nxt - 1 AS gap_end, nxt - k - 1 AS missing
+FROM s WHERE nxt - k > 1
+"""
+
+
+def unpivot_events_metrics() -> str:
+    """Twin of q_unpivot: wide per-type daily aggregates melted back to
+    (dt, metric, event_type, val) long form — DuckDB UNPIVOT."""
+    return """
+WITH wide AS (
+  SELECT CAST(ts AS DATE) AS dt,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+         COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+  FROM events GROUP BY 1
+)
+SELECT dt, event_type, val
+FROM wide UNPIVOT (val FOR event_type IN (click, view, error))
+"""
