@@ -410,3 +410,37 @@ def test_structured_logging_emits_run_record(checker, views, caplog):
     msgs = [r.getMessage() for r in caplog.records if r.name == "xoverrr_spark.checker"]
     assert any("check_samples" in m and "run_id=" in m and "status=success" in m
                for m in msgs), msgs
+
+
+def test_check_profile_drift_scores_and_persists(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from xoverrr_spark.checker import QualityChecker
+
+    src = spark.createDataFrame(
+        [(i, f"v{i % 10}") for i in range(100)], "id bigint, v string")
+    trg = src.filter("id % 2 = 0").withColumn(
+        "v", F.when(F.col("id") % 4 == 0, None).otherwise(F.col("v")))
+    src.createOrReplaceTempView("drift_src")
+    trg.createOrReplaceTempView("drift_trg")
+    results = str(tmp_path / "results")
+    qc = QualityChecker(spark, results_table=results)
+
+    status, report, stats, rows = qc.check_profile_drift(
+        "drift_src", "drift_trg", tolerance_pct=5.0)
+    assert status == "failed"                 # 50% row drop >> 5%
+    assert stats["drift_pct"] >= 50.0
+    assert {r["column_name"] for r in rows} == {"id", "v"}
+    # identical sides pass
+    status2, _, stats2, _ = qc.check_profile_drift(
+        "drift_src", "drift_src", tolerance_pct=0.0)
+    assert status2 == "success" and stats2["drift_pct"] == 0.0
+    # both outcomes persisted as audit rows
+    audit = spark.read.parquet(results)
+    pd_rows = audit.filter("check_type = 'profile_drift'")
+    assert pd_rows.count() == 2
+    # JSON envelope honored for the fifth check type too
+    import json
+    _, jreport, _, _ = qc.check_profile_drift(
+        "drift_src", "drift_src", report_output_format="json")
+    payload = json.loads(jreport)
+    assert payload["check_type"] == "profile_drift" and "stats" in payload

@@ -33,6 +33,7 @@ from .exceptions import MetadataError
 from .logger import get_logger
 from .operators import diff as D
 from .operators import counts as C
+from .operators import profile as P
 from .operators import sniff as S
 from .persistence import (
     CheckRunTimings,
@@ -381,6 +382,114 @@ class QualityChecker:
             for daily in (src_daily, trg_daily):
                 if daily is not None:
                     daily.unpersist()
+
+    def check_profile_drift(
+        self,
+        source_table,
+        target_table,
+        columns: list[str] | None = None,
+        check_name: str | None = None,
+        tolerance_pct: float = 0.0,
+        report_output_format: str = "text",
+    ):
+        """Fifth check type (beyond the reference's four): per-column
+        distribution drift between two tables — row counts, null rates,
+        distinct counts (operators.profile.profile_drift) scored against a
+        tolerance and persisted like every other check. Catches what the
+        keyed diff can't see cheaply: a column going 10x more null, a
+        distinct-count collapse from a broken upstream join.
+
+        drift_pct = max over common columns of {|row delta| / src rows,
+        |null-rate delta|, |distinct delta| / src distinct} * 100;
+        final_score = 100 - drift_pct (floored at 0).
+        """
+        run_id = uuid.uuid4().hex[:16]
+        timings = CheckRunTimings(run_started_at=CheckRunTimings.now())
+        ps = pt = None
+        try:
+            fmt = validate_report_output_format(report_output_format)
+            src = self._resolve(source_table)
+            trg = self._resolve(target_table)
+            cols = columns or [c for c in src.columns if c in set(trg.columns)]
+            if not cols:
+                raise ValueError("no common columns to profile")
+            timings.mark_query_start("source")
+            ps = P.profile(src, cols).persist()
+            ps.count()
+            timings.mark_query_end("source")
+            timings.mark_query_start("target")
+            pt = P.profile(trg, cols).persist()
+            pt.count()
+            timings.mark_query_end("target")
+            timings.mark_dataset_check_start()
+            rows = P.drift_from_profiles(ps, pt).orderBy("column_name").collect()
+
+            def _col_drift(r):
+                parts = [
+                    abs(r["row_delta"]) * 100.0 / max(r["src_rows"], 1),
+                    abs(r["trg_null_rate"] - r["src_null_rate"]) * 100.0,
+                    abs(r["distinct_delta"]) * 100.0 / max(r["src_distinct"], 1),
+                ]
+                return max(parts)
+
+            drift_pct = max((_col_drift(r) for r in rows), default=0.0)
+            status = (
+                D.CHECK_SUCCESS if drift_pct <= tolerance_pct else D.CHECK_FAILED
+            )
+            timings.mark_dataset_check_end()
+            name = check_name or "check_profile_drift"
+            lines = [
+                f"profile drift check: {name} [{run_id}] -> {status}",
+                f"columns: {len(rows)}  drift_pct: {drift_pct:.4f}  "
+                f"tolerance: {tolerance_pct}",
+            ]
+            for r in rows:
+                lines.append(
+                    f"  {r['column_name']}: rows {r['src_rows']}->{r['trg_rows']} "
+                    f"nulls {r['src_nulls']}->{r['trg_nulls']} "
+                    f"distinct {r['src_distinct']}->{r['trg_distinct']}"
+                )
+            text_report = "\n".join(lines)
+            stats = {
+                "columns": len(rows),
+                "drift_pct": round(drift_pct, 4),
+                "final_score": round(max(0.0, 100.0 - drift_pct), 4),
+            }
+            report = text_report
+            if fmt == "json":
+                report = check_result_json(
+                    run_id=run_id, check_type="profile_drift", status=status,
+                    check_name=name, report=text_report,
+                    source_table=source_table if isinstance(source_table, str) else None,
+                    target_table=target_table if isinstance(target_table, str) else None,
+                    timezone=self.timezone, stats=stats,
+                    details=[r.asDict() for r in rows],
+                )
+            timings.finish_run()
+            self._persist(
+                run_id=run_id, check_type="profile_drift", status=status,
+                check_name=name,
+                source_table=source_table, target_table=target_table,
+                report=text_report, timings=timings,
+                stats_overrides={"final_score": stats["final_score"]},
+            )
+            self._track(status, source_table, target_table)
+            return status, report, stats, rows
+        except Exception as exc:
+            report = f"check failed with error: {exc}"
+            timings.finish_run()
+            self._persist(
+                run_id=run_id, check_type="profile_drift", status=D.CHECK_FAILED,
+                check_name=check_name or "check_profile_drift",
+                source_table=source_table, target_table=target_table,
+                report=report, timings=timings,
+            )
+            self._track(D.CHECK_FAILED, source_table, target_table)
+            return D.CHECK_FAILED, report, None, None
+        finally:
+            for f in (ps, pt):
+                if f is not None:
+                    f.unpersist()
 
     def check_custom_queries(
         self,

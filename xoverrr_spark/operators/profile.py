@@ -157,13 +157,20 @@ def profile_drift(
     oracle). Zero-row sides produce 0.0 rates, not nulls.
     """
     cols = columns or [c for c in src.columns if c in set(trg.columns)]
-    ps = profile(src, cols).select(
+    return drift_from_profiles(profile(src, cols), profile(trg, cols))
+
+
+def drift_from_profiles(src_profile: DataFrame, trg_profile: DataFrame) -> DataFrame:
+    """Drift join over two PRECOMPUTED profile() frames — lets callers
+    (checker.check_profile_drift) persist and time each side's profile
+    aggregate separately before the tiny join."""
+    ps = src_profile.select(
         "column_name",
         F.col("n_rows").alias("src_rows"),
         F.col("n_nulls").alias("src_nulls"),
         F.col("n_distinct").alias("src_distinct"),
     )
-    pt = profile(trg, cols).select(
+    pt = trg_profile.select(
         "column_name",
         F.col("n_rows").alias("trg_rows"),
         F.col("n_nulls").alias("trg_nulls"),
