@@ -8,7 +8,7 @@ def test_queries_and_oracle_keys_match():
     qs = entry.queries()
     sql = entry.oracle_sql()
     assert set(qs) == set(sql), set(qs) ^ set(sql)
-    assert len(qs) >= 40
+    assert len(qs) >= 70
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in sql.values())
 

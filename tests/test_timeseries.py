@@ -181,3 +181,43 @@ def test_range_join_rejects_colliding_output_names(spark):
     with pytest.raises(ValueError, match="already exist"):
         range_join(L.withColumnRenamed("lid", "r_ts"), R,
                    ["user_id"], "ts", "ts", ["rid"], 300)
+
+
+def test_range_join_matches_sequential_twin_property(spark):
+    """Randomized keys/timestamps (incl. nulls and bin-edge values) vs a
+    plain O(n*m) python replay of the interval spec."""
+    from datetime import datetime as dt, timedelta as td
+    from hypothesis import HealthCheck, given, settings, strategies as st
+    from xoverrr_spark.operators.timeseries import range_join
+
+    base = dt(2024, 1, 1)
+    ts = st.one_of(
+        st.none(),
+        st.integers(0, 900).map(lambda s: base + td(seconds=s)),
+    )
+    keys = st.one_of(st.none(), st.integers(0, 2))
+    rows = st.lists(st.tuples(keys, ts), min_size=0, max_size=10)
+
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(lrows=rows, rrows=rows)
+    def run(lrows, rrows):
+        L = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(lrows)],
+            "lid bigint, k bigint, ts timestamp")
+        R = spark.createDataFrame(
+            [(100 + i, k, t) for i, (k, t) in enumerate(rrows)],
+            "rid bigint, k bigint, ts timestamp")
+        got = sorted((r.lid, r.r_rid) for r in
+                     range_join(L, R, ["k"], "ts", "ts", ["rid"], 300).collect())
+        want = sorted(
+            (li, 100 + ri)
+            for li, (lk, lt) in enumerate(lrows)
+            for ri, (rk, rt) in enumerate(rrows)
+            if lk == rk or (lk is None and rk is None)
+            if lt is not None and rt is not None
+            and lt < rt <= lt + td(seconds=300)
+        )
+        assert got == want
+
+    run()
