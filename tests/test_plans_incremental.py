@@ -53,3 +53,13 @@ def test_q3_filters_reach_the_scans(spark):
     assert "PushedFilters" in plan or "pushedFilters" in plan, plan[:2000]
     for frag in ("c_mktsegment", "o_orderdate", "l_shipdate"):
         assert frag in plan, frag
+
+
+def test_shingle_table_is_a_pure_map(spark):
+    """The hottest stage of every dedup pipeline must stay shuffle-free:
+    per-word hashing + the rolling fold are row-local."""
+    from xoverrr_spark.operators.dedup import shingle_table
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = shingle_table(d, "doc_id", "text")._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
