@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.tokens import fingerprint, md5_long, word_shingles
+from ..functions.tokens import fingerprint, md5_long
 
 # Affine permutations (a*x+b) mod 2^40 with ODD a: for odd a the map is a
 # bijection on Z_2^40, so each hash index i applies a genuinely different
