@@ -948,6 +948,24 @@ def q_grouping_sets(spark, sf_dir):
     )
 
 
+def q_cumulative_users(spark, sf_dir):
+    """Running distinct-user count by day: first-seen day per user (one
+    groupBy) then a cumulative sum over the tiny daily frame — a naive
+    running COUNT(DISTINCT) window would hold unbounded state."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    first_seen = ev.groupBy(
+        (F.col("user_id") * 1000 + F.col("event_id") % 97).alias("u")
+    ).agg(F.min(F.col("ts").cast("date")).alias("dt"))
+    daily = first_seen.groupBy("dt").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("dt").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "dt", "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
 def q_id_gaps(spark, sf_dir):
     """Holes in a key sequence (engineered: %97 keys removed) — the
     completeness check behind 'did the extract skip rows'. Global lead
@@ -1108,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_events": q_grouping_sets,
         "id_gaps_orders": q_id_gaps,
         "unpivot_events_metrics": q_unpivot,
+        "cumulative_users_events": q_cumulative_users,
     }
 
 
@@ -1188,4 +1207,5 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets_events": oracle.grouping_sets_events(),
         "id_gaps_orders": oracle.id_gaps_orders(),
         "unpivot_events_metrics": oracle.unpivot_events_metrics(),
+        "cumulative_users_events": oracle.cumulative_users_events(),
     }

@@ -1890,3 +1890,27 @@ WITH wide AS (
 SELECT dt, event_type, val
 FROM wide UNPIVOT (val FOR event_type IN (click, view, error))
 """
+
+
+def cumulative_users_events() -> str:
+    """Twin of q_cumulative_users: running distinct-user count by day via
+    the first-seen-day trick (a naive running COUNT(DISTINCT) window is
+    unbounded-state; first-seen reduces it to a cumulative SUM)."""
+    return """
+WITH first_seen AS (
+  -- synthetic wider user key (the fixture has ~15 raw users): derived
+  -- identically on the Spark side
+  SELECT user_id * 1000 + event_id % 97 AS u, MIN(CAST(ts AS DATE)) AS dt
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id * 1000 + event_id % 97
+),
+daily AS (
+  SELECT dt, COUNT(*) AS new_users FROM first_seen GROUP BY dt
+)
+SELECT dt, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY dt
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily
+"""
