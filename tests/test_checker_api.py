@@ -444,3 +444,17 @@ def test_check_profile_drift_scores_and_persists(spark, tmp_path):
         "drift_src", "drift_src", report_output_format="json")
     payload = json.loads(jreport)
     assert payload["check_type"] == "profile_drift" and "stats" in payload
+
+
+def test_check_profile_drift_failed_path_persists_audit_row(spark, tmp_path):
+    """A thrown check (bad column) still leaves a failed audit row — the
+    same contract as the other four check types."""
+    from xoverrr_spark.checker import QualityChecker
+    spark.createDataFrame([(1,)], "id bigint").createOrReplaceTempView("pd_one")
+    results = str(tmp_path / "res")
+    qc = QualityChecker(spark, results_table=results)
+    status, report, stats, rows = qc.check_profile_drift(
+        "pd_one", "pd_one", columns=["no_such_column"])
+    assert status == "failed" and stats is None and "error" in report
+    audit = spark.read.parquet(results)
+    assert audit.filter("check_type = 'profile_drift' AND status = 'failed'").count() == 1
