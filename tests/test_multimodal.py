@@ -243,3 +243,22 @@ def test_sample_frames_truncated_container_is_error_row(spark):
     df = spark.createDataFrame(rows, "video_id string, video binary")
     got = sample_frames(df, every_n=1).collect()
     assert len(got) == 1 and got[0].frame_idx == -1 and got[0].frame is None
+
+
+def test_silence_ratio_signal(spark):
+    import numpy as np
+    from xoverrr_spark.operators.multimodal import silence_ratio
+    t = np.arange(4096) / 16000.0
+    loud = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    half = np.concatenate([loud[:2048], np.zeros(2048, dtype="<i2")])
+    rows = [("loud", loud.tobytes()),
+            ("half", half.tobytes()),
+            ("mute", np.zeros(4096, dtype="<i2").tobytes()),
+            ("dead", None)]
+    df = spark.createDataFrame(rows, "clip_id string, pcm binary")
+    got = {r.clip_id: (r.n_windows, r.silence_ratio) for r in
+           silence_ratio(df).collect()}
+    assert got["loud"] == (4, 0.0)
+    assert got["half"] == (4, 0.5)
+    assert got["mute"] == (4, 1.0)
+    assert got["dead"][0] == 0 and got["dead"][1] is None

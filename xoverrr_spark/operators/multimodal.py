@@ -339,3 +339,31 @@ def sample_frames(
     return df.select(
         F.col(id_col).alias(id_col), F.col(bytes_col).alias(bytes_col)
     ).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
+def silence_ratio(
+    df: DataFrame,
+    window_samples: int = 1024,
+    rms_threshold: float = 0.01,
+    id_col: str = "clip_id",
+    bytes_col: str = "pcm",
+) -> DataFrame:
+    """Per-clip silence fraction — the audio quality-filter signal (drop
+    clips that are mostly silence / failed recordings): fraction of
+    ``audio_features`` windows with RMS below ``rms_threshold``.
+
+    One mapInPandas (the feature pass) + one groupBy on clip_id with
+    map-side combine. Clips whose payload decoded to null features (null
+    bytes / sub-sample blobs) come back with null ratio and n_windows 0 —
+    distinguishable from a genuinely silent clip (ratio 1.0).
+    """
+    feats = audio_features(df, window_samples, id_col, bytes_col)
+    return feats.groupBy("clip_id").agg(
+        F.count(F.col("rms")).alias("n_windows"),
+        # try_divide: ANSI raises DIVIDE_BY_ZERO for the null-payload
+        # clips (0 feature windows); null ratio is the honest answer
+        F.try_divide(
+            F.count(F.when(F.col("rms") < rms_threshold, 1)) * F.lit(1.0),
+            F.count(F.col("rms")),
+        ).alias("silence_ratio"),
+    )
