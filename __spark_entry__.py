@@ -890,6 +890,46 @@ def q_q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: two-nation trade flows by year — the disjunctive
+    pair condition rides the two broadcast nation joins."""
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    a, b = oracle.Q7_NATION_A, oracle.Q7_NATION_B
+    pair = (
+        (F.col("supp_nation") == a) & (F.col("cust_nation") == b)
+    ) | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+    return (
+        s.join(l, s["s_suppkey"] == l["l_suppkey"])
+        .join(o, o["o_orderkey"] == l["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
 def q_sliding_counts(spark, sf_dir):
     """Sliding event-time windows (10 min window / 5 min step) — the batch
     twin of the streaming windowed aggregation; each event lands in
@@ -1127,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id_gaps_orders": q_id_gaps,
         "unpivot_events_metrics": q_unpivot,
         "cumulative_users_events": q_cumulative_users,
+        "q7_volume_shipping": q_q7_volume_shipping,
     }
 
 
@@ -1208,4 +1249,5 @@ def oracle_sql() -> dict[str, str]:
         "id_gaps_orders": oracle.id_gaps_orders(),
         "unpivot_events_metrics": oracle.unpivot_events_metrics(),
         "cumulative_users_events": oracle.cumulative_users_events(),
+        "q7_volume_shipping": oracle.q7_volume_shipping(),
     }

@@ -1914,3 +1914,30 @@ SELECT dt, new_users,
          AS cumulative_users
 FROM daily
 """
+
+
+Q7_NATION_A = "NATION_2"
+Q7_NATION_B = "NATION_7"
+
+
+def q7_volume_shipping() -> str:
+    """TPC-H Q7 shape: supplier-nation x customer-nation flows between two
+    nations (disjunctive pair condition), revenue by year."""
+    return f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+     OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
