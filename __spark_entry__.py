@@ -930,6 +930,39 @@ def q_q7_volume_shipping(spark, sf_dir):
     )
 
 
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's yearly market."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rk")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == oracle.Q8_REGION)
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        l.join(s, s["s_suppkey"] == l["l_suppkey"])
+        .join(o, o["o_orderkey"] == l["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .join(r, F.col("n2_rk") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("l_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == oracle.Q8_NATION, vol)
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
 def q_sliding_counts(spark, sf_dir):
     """Sliding event-time windows (10 min window / 5 min step) — the batch
     twin of the streaming windowed aggregation; each event lands in
@@ -1168,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_events_metrics": q_unpivot,
         "cumulative_users_events": q_cumulative_users,
         "q7_volume_shipping": q_q7_volume_shipping,
+        "q8_market_share": q_q8_market_share,
     }
 
 
@@ -1250,4 +1284,5 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_events_metrics": oracle.unpivot_events_metrics(),
         "cumulative_users_events": oracle.cumulative_users_events(),
         "q7_volume_shipping": oracle.q7_volume_shipping(),
+        "q8_market_share": oracle.q8_market_share(),
     }

@@ -1941,3 +1941,33 @@ FROM (
 ) shipping
 GROUP BY supp_nation, cust_nation, l_year
 """
+
+
+Q8_NATION = "NATION_7"
+Q8_REGION = "ASIA"
+
+
+def q8_market_share() -> str:
+    """TPC-H Q8 shape: one nation's share of a region's yearly market —
+    conditional-sum ratio over the star join. Both sums are exact DECIMAL
+    cast to DOUBLE before ONE division (cross-engine deterministic)."""
+    return f"""
+SELECT l_year,
+       CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
+                     THEN CAST(volume AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS l_year,
+         n1.n_name AS supp_nation,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  JOIN region r ON n2.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{Q8_REGION}'
+) flows
+GROUP BY l_year
+"""
