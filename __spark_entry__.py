@@ -963,6 +963,24 @@ def q_q8_market_share(spark, sf_dir):
     )
 
 
+def q_q12_priority_counts(spark, sf_dir):
+    """TPC-H Q12 shape: conditional priority counts per return flag."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
+
+
 def q_sliding_counts(spark, sf_dir):
     """Sliding event-time windows (10 min window / 5 min step) — the batch
     twin of the streaming windowed aggregation; each event lands in
@@ -1202,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_users_events": q_cumulative_users,
         "q7_volume_shipping": q_q7_volume_shipping,
         "q8_market_share": q_q8_market_share,
+        "q12_priority_counts": q_q12_priority_counts,
     }
 
 
@@ -1285,4 +1304,5 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_users_events": oracle.cumulative_users_events(),
         "q7_volume_shipping": oracle.q7_volume_shipping(),
         "q8_market_share": oracle.q8_market_share(),
+        "q12_priority_counts": oracle.q12_priority_counts(),
     }

@@ -1971,3 +1971,19 @@ FROM (
 ) flows
 GROUP BY l_year
 """
+
+
+def q12_priority_counts() -> str:
+    """TPC-H Q12 shape: conditional priority counts per return flag (the
+    fixture lacks l_shipmode; l_returnflag plays the grouping role)."""
+    return """
+SELECT l.l_returnflag,
+       COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+GROUP BY l.l_returnflag
+"""
