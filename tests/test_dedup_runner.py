@@ -48,8 +48,24 @@ def test_staged_dedup_matches_direct_composition(spark, tmp_path):
     # the cap audit is part of the job output, not a silent setting
     assert os.path.exists(os.path.join(out, "bucket_stats", "_SUCCESS"))
     assert "over_cap_docs" in summary
+    assert summary["capped"] is True
     with open(os.path.join(out, "dedup_summary.json")) as fh:
         assert json.load(fh) == summary
+
+
+def test_staged_dedup_uncapped_audit_is_flagged_advisory(spark, tmp_path):
+    """max_bucket_size=None disables the cap — the summary still audits
+    bucket sizes vs the default cap, but marks capped=false so over_cap
+    counts read as advisory, not as dropped pairs (r03 ADVICE)."""
+    from xoverrr_spark.operators.dedup import DEFAULT_MAX_BUCKET
+    out = str(tmp_path / "dedup_nocap")
+    summary = run_dedup(
+        spark, _docs(spark), out, jaccard_threshold=0.8,
+        max_bucket_size=None, log=lambda *_: None,
+    )
+    assert summary["capped"] is False
+    assert summary["max_bucket_size"] is None
+    assert summary["audited_cap"] == DEFAULT_MAX_BUCKET
 
 
 def test_staged_dedup_resume_skips_completed_stages(spark, tmp_path):

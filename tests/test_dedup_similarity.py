@@ -566,6 +566,34 @@ def test_incremental_near_dups_finds_cross_table_pairs_only(spark):
         assert 0.6 <= r.jaccard <= 1.0
 
 
+def test_incremental_near_dups_rejects_colliding_ids(spark):
+    """A batch whose id sequence restarts (ids overlap the corpus) would
+    silently merge shingle sets in the union-verify — the guard raises
+    with example ids instead (r03 ADVICE)."""
+    import pytest
+    from xoverrr_spark.operators.dedup import incremental_near_dups
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (1, "one two three four five six seven")],
+        "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(1, "totally different new document text here"),  # collides with corpus id 1
+         (2, "another brand new batch document arrives")],
+        "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="collide"):
+        incremental_near_dups(new, corpus, "doc_id", "text",
+                              check_disjoint_ids=True)
+    # disjoint ids pass the guard
+    ok = spark.createDataFrame(
+        [(100, "totally different new document text here")],
+        "doc_id bigint, text string")
+    from xoverrr_spark.operators.dedup import release_intermediates
+    got = incremental_near_dups(ok, corpus, "doc_id", "text",
+                                check_disjoint_ids=True)
+    got.collect()
+    release_intermediates(got)
+
+
 # ------------------------------------------------- bloom decontamination ----
 
 def test_bloom_decontaminate_never_misses_exact_hits(spark):

@@ -48,3 +48,30 @@ def test_stream_merge_head_flip_is_crash_safe(spark, tmp_path):
         f"{table}/v=99")
     assert {r.k for r in read_merged_table(spark, table).collect()} == {1}
     assert os.path.exists(f"{table}/HEAD")
+
+
+def test_stream_merge_replay_after_head_flip_short_circuits(spark, tmp_path):
+    """Crash BETWEEN the HEAD flip and the checkpoint commit replays the
+    batch whose snapshot is already HEAD. The replay must be a no-op —
+    re-folding would read v=<batch_id> (now HEAD) and overwrite the same
+    path, which Spark rejects, permanently wedging the stream."""
+    from xoverrr_spark.streaming.stream_merge import make_merge_batch_fn
+
+    table = str(tmp_path / "t3")
+    batch = spark.createDataFrame(
+        [(1, "a1", "U"), (2, "b1", "U")], "k bigint, v string, op string")
+    fn = make_merge_batch_fn(spark, table, ["k"])
+    fn(batch, 0)
+    snap1 = {r.k: r.v for r in read_merged_table(spark, table).collect()}
+    assert snap1 == {1: "a1", 2: "b1"}
+    # Replay of the SAME batch id (checkpoint commit never happened):
+    # without the short-circuit this raises "Cannot overwrite a path that
+    # is also being read from".
+    fn(batch, 0)
+    snap2 = {r.k: r.v for r in read_merged_table(spark, table).collect()}
+    assert snap2 == snap1
+    # The stream then proceeds normally with the next batch.
+    nxt = spark.createDataFrame([(1, "a2", "U")], "k bigint, v string, op string")
+    fn(nxt, 1)
+    assert {r.k: r.v for r in read_merged_table(spark, table).collect()} == {
+        1: "a2", 2: "b1"}

@@ -708,6 +708,7 @@ def incremental_near_dups(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     corpus_shingles: DataFrame | None = None,
     corpus_sigs: DataFrame | None = None,
+    check_disjoint_ids: bool = False,
 ) -> DataFrame:
     """Ingestion-time near-dup detection: (new_id, corpus_id, jaccard) pairs
     where a NEW doc near-duplicates an EXISTING corpus doc — the two-table
@@ -727,6 +728,14 @@ def incremental_near_dups(
     — then the raw corpus is never touched and ``corpus`` may be None.
     ``corpus_sigs`` defaults to re-aggregating from ``corpus_shingles``
     (cheap relative to the corpus scan it replaces).
+
+    CONTRACT: new-batch doc ids must be DISJOINT from corpus doc ids — the
+    verify step unions the two shingle tables, so a colliding id silently
+    merges the two docs' shingle sets and corrupts the Jaccard. This can
+    happen if batch id numbering restarts. ``check_disjoint_ids=True``
+    verifies the contract with one semi-join count against the (small)
+    new-batch side and raises on violation (costs one extra action; on by
+    default in the staged runner, off here for composition).
     """
     if corpus_shingles is None and corpus is None:
         raise ValueError("pass either corpus or corpus_shingles")
@@ -761,6 +770,22 @@ def incremental_near_dups(
         .distinct()
         .persist()
     )
+    if check_disjoint_ids:
+        ndup = (
+            new_sh.select("doc_id")
+            .distinct()
+            .join(corpus_sh.select("doc_id").distinct(), "doc_id", "left_semi")
+        )
+        hits = [r.doc_id for r in ndup.limit(5).collect()]
+        if hits:
+            for frame in (new_sh, new_buckets, cands):
+                frame.unpersist()
+            raise ValueError(
+                "incremental_near_dups: new-batch doc ids collide with "
+                f"corpus doc ids (examples: {hits}) — colliding ids would "
+                "silently merge shingle sets and corrupt the verified "
+                "Jaccard. Renumber the batch (ids must be disjoint)."
+            )
     # verify over ONE shingle universe (new persisted + corpus lazy —
     # that's the second corpus pass); ids must not collide across tables
     j = candidate_jaccard(

@@ -1287,17 +1287,24 @@ FROM ml m LEFT JOIN rebuilt r USING (doc_id)
 def repetition_stats_documents() -> str:
     """Twin of operators.repetition.repetition_stats: word-bigram instance
     counts per doc; fractions are single int/int double divisions (IEEE
-    correctly-rounded => bit-identical to Spark)."""
+    correctly-rounded => bit-identical to Spark).
+
+    Bigrams are keyed by the SAME 40-bit hashed fold as the Spark operator
+    (per-word md5-40 then ``(wh[i]*P + wh[i+1]) mod 2^40``) — not by raw
+    strings — so a within-doc 40-bit collision merges the same two bigrams
+    on BOTH engines and counts replay identically (r03 ADVICE)."""
     return r"""
 WITH w AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+  SELECT doc_id,
+         list_transform(string_split_regex(trim(lower(text)), '\s+'),
+                        t -> ('0x' || substr(md5(t), 1, 10))::BIGINT) AS wh
   FROM documents WHERE text IS NOT NULL
 ),
 bg AS (
   SELECT doc_id,
-         unnest(list_transform(generate_series(1, len(words) - 1),
-                               i -> words[i] || ' ' || words[i + 1])) AS bigram
-  FROM w WHERE len(words) >= 2
+         unnest(list_transform(generate_series(1, len(wh) - 1),
+                i -> (wh[i] * 1000003 + COALESCE(wh[i + 1], 0)) % 1099511627776)) AS bigram
+  FROM w WHERE len(wh) >= 2
 ),
 c AS (
   SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2

@@ -143,10 +143,16 @@ def run_dedup(
         "clusters": n_clusters,
         "kept_docs": n_docs - n_clustered + n_clusters,
         "dup_pct": round((n_clustered - n_clusters) * 100.0 / n_docs, 3) if n_docs else 0.0,
-        "over_cap_buckets": int(sum(r["over_cap_buckets"] for r in stats_rows)),
-        "over_cap_docs": int(sum(r["over_cap_docs"] for r in stats_rows)),
         "jaccard_threshold": jaccard_threshold,
         "max_bucket_size": max_bucket_size,
+        # The bucket_stats stage always audits against SOME cap so a
+        # cap-disabled run still reports how big its buckets got — but
+        # when the cap is off, those are advisory counts vs the default
+        # cap, NOT dropped pairs. `capped` disambiguates (r03 ADVICE).
+        "capped": max_bucket_size is not None,
+        "audited_cap": max_bucket_size or D.DEFAULT_MAX_BUCKET,
+        "over_cap_buckets": int(sum(r["over_cap_buckets"] for r in stats_rows)),
+        "over_cap_docs": int(sum(r["over_cap_docs"] for r in stats_rows)),
     }
     with open(os.path.join(output_dir, "dedup_summary.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
@@ -288,6 +294,11 @@ def run_incremental_dedup(
                           the index dir's tables to complete the loop
 
     The raw corpus is never read; only the three index tables are joined.
+
+    CONTRACT: batch doc ids must be disjoint from every id already in the
+    index (colliding ids merge shingle sets in the verify step). Enforced:
+    the near_pairs stage runs with ``check_disjoint_ids=True`` and raises
+    with example ids if a batch id sequence restarts.
     """
     os.makedirs(output_dir, exist_ok=True)
     fps = spark.read.parquet(os.path.join(index_dir, "fingerprints"))
@@ -314,6 +325,11 @@ def run_incremental_dedup(
             jaccard_threshold=jaccard_threshold,
             max_bucket_size=max_bucket_size,
             corpus_shingles=corpus_sh, corpus_sigs=corpus_sigs,
+            # batch ids MUST be disjoint from corpus ids (a restarted id
+            # sequence would silently merge shingle sets) — enforce it
+            # here, where the one extra semi-join count is cheap relative
+            # to the staged job
+            check_disjoint_ids=True,
         ),
         log,
     )

@@ -13,7 +13,11 @@ crash mid-write never corrupts the readable snapshot (the half-written
 version is simply never referenced); restart resumes from the checkpoint
 offset and re-folds the batch onto the last committed HEAD — apply_changes
 is idempotent for a replayed batch (same winners per key), so
-exactly-once table state comes from at-least-once batch delivery.
+exactly-once table state comes from at-least-once batch delivery. A crash
+in the window BETWEEN the HEAD flip and the checkpoint commit replays a
+batch whose snapshot is already HEAD — that replay short-circuits on
+``HEAD == batch_id`` (re-folding would read from and overwrite the same
+``v=<batch_id>`` path, which Spark rejects, wedging the stream).
 """
 
 from __future__ import annotations
@@ -45,6 +49,18 @@ def make_merge_batch_fn(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(table_dir, exist_ok=True)
+        head_path = os.path.join(table_dir, "HEAD")
+        if os.path.exists(head_path):
+            with open(head_path) as fh:
+                if fh.read().strip() == str(batch_id):
+                    # Crash landed between the HEAD flip and the checkpoint
+                    # commit: this batch is already folded into the snapshot.
+                    # Re-folding would read v=<batch_id> (now HEAD) and
+                    # overwrite the same path, which Spark rejects ("Cannot
+                    # overwrite a path that is also being read from") — the
+                    # stream would be permanently stuck. Skip; the checkpoint
+                    # commit then completes and the stream moves on.
+                    return
         current = read_merged_table(spark, table_dir)
         data_cols = [
             c for c in batch_df.columns if c not in (op_col, version_col)
