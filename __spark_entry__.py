@@ -1059,20 +1059,15 @@ def q_cumulative_users(spark, sf_dir):
 
 def q_id_gaps(spark, sf_dir):
     """Holes in a key sequence (engineered: %97 keys removed) — the
-    completeness check behind 'did the extract skip rows'. Global lead
-    window over keys only (longs), never the full rows; at real scale run
-    per partition-range so no single task sorts everything."""
+    completeness check behind 'did the extract skip rows'. Partition-range
+    form: lead within key buckets + a tiny per-bucket boundary stitch, so
+    no task ever sorts the full key set (operators/sequence.py).
+    bucket_bits=10 so the sf0.01 key space (~60k) actually spans dozens of
+    buckets and the boundary-stitch path is exercised by the oracle gate."""
+    from xoverrr_spark.operators.sequence import id_gaps
+
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 != 0)
-    w = Window.orderBy("o_orderkey")
-    s = o.select(
-        F.col("o_orderkey").alias("k"),
-        F.lead("o_orderkey").over(w).alias("nxt"),
-    )
-    return s.filter(F.col("nxt") - F.col("k") > 1).select(
-        (F.col("k") + 1).alias("gap_start"),
-        (F.col("nxt") - 1).alias("gap_end"),
-        (F.col("nxt") - F.col("k") - 1).alias("missing"),
-    )
+    return id_gaps(o, "o_orderkey", bucket_bits=10)
 
 
 def q_unpivot(spark, sf_dir):

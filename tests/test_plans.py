@@ -158,3 +158,64 @@ def test_source_keep_rate_single_scan_no_join(spark, sf_dir):
     plan = _plan(source_keep_rate(annotate(d, caption_col="text", with_ppl=False)))
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_id_gaps_key_window_is_partitioned(spark, sf_dir):
+    # The r03 verdict's one weak plan: a global ORDER BY window would sort
+    # every key on ONE task. The partition-range form must (a) run the
+    # lead-over-keys window partitioned by bucket, and (b) confine the
+    # single-partition stitch to the aggregated per-bucket bounds frame.
+    from xoverrr_spark.operators.sequence import id_gaps
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") % 97 != 0
+    )
+    g = id_gaps(o, "o_orderkey", bucket_bits=10)
+    g.collect()  # AQE-final plan
+    plan = _plan(g).split("== Initial Plan ==")[0]
+    key_windows = [
+        l for l in plan.splitlines() if "Window [lead(k#" in l
+    ]
+    assert key_windows, plan
+    for l in key_windows:
+        assert "windowspecdefinition(b#" in l, l  # partitioned by bucket
+    # exactly one SinglePartition exchange, and it feeds the bounds
+    # aggregate (min/max per bucket), never the raw key set
+    singles = plan.count("Exchange SinglePartition")
+    assert singles == 1, plan
+    seg = plan[plan.index("Exchange SinglePartition"):]
+    assert "HashAggregate" in seg.split("Window")[0].split("Scan")[0], plan
+
+
+def test_id_gaps_stitches_across_empty_buckets(spark):
+    # gaps spanning WHOLE empty buckets appear only via the bounds stitch
+    from xoverrr_spark.operators.sequence import id_gaps
+
+    keys = [0, 1, 2, 10, 11, 30, 31]  # bucket_bits=2 -> buckets 0,2,7
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    got = sorted(
+        (r.gap_start, r.gap_end, r.missing)
+        for r in id_gaps(df, "k", bucket_bits=2).collect()
+    )
+    assert got == [(3, 9, 7), (12, 29, 18)]
+
+
+def test_id_gaps_matches_naive_on_random_sets(spark):
+    import random
+
+    from xoverrr_spark.operators.sequence import id_gaps
+
+    rng = random.Random(42)
+    keys = sorted(rng.sample(range(100000), 5000)) + [100003, 100003]  # dups ok
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    got = sorted(
+        (r.gap_start, r.gap_end, r.missing)
+        for r in id_gaps(df, "k", bucket_bits=8).collect()
+    )
+    uniq = sorted(set(keys))
+    naive = [
+        (a + 1, b - 1, b - a - 1)
+        for a, b in zip(uniq, uniq[1:])
+        if b - a > 1
+    ]
+    assert got == naive
