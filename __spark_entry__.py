@@ -981,6 +981,72 @@ def q_q12_priority_counts(spark, sf_dir):
     )
 
 
+def q_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (correlated EXISTS) through the spark.sql path —
+    Catalyst rewrites the subquery to a left-semi hash join on
+    l_orderkey; the date filter pushes to the orders scan. The fixture
+    lacks l_commitdate, so l_returnflag='R' plays the late-line role."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q4")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders_q4 o
+        WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem_q4 l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def q_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left-outer join with an ON-clause exclusion, then
+    a two-level aggregation (per-customer count -> count distribution).
+    Zero-order customers must survive into the c_count=0 bucket — the
+    exclusion predicate lives in the JOIN condition, not a WHERE."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_q13")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q13")
+    return spark.sql(
+        """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer_q13 c LEFT OUTER JOIN orders_q13 o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        ) c_orders
+        GROUP BY c_count
+        """
+    )
+
+
+def q_q16_parts_supplier(spark, sf_dir):
+    """TPC-H Q16 shape: NOT IN anti-subquery + COUNT(DISTINCT) —
+    Catalyst's null-aware anti join (the NOT IN subquery column is
+    non-null here, so it stays a broadcast anti-join, not the O(n*m)
+    null-aware fallback). lineitem stands in for partsupp."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_q16")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q16")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q16")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM part_q16 p JOIN lineitem_q16 l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#2'
+          AND p.p_size IN (11, 14, 23, 45, 19, 3, 36, 9)
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier_q16 WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        """
+    )
+
+
 def q_sliding_counts(spark, sf_dir):
     """Sliding event-time windows (10 min window / 5 min step) — the batch
     twin of the streaming windowed aggregation; each event lands in
@@ -1136,73 +1202,87 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness gate records the FIRST 50
+    # entries — every scale-critical operator family sits in that window
+    # (diff/counts/sniff engines, the full dedup+curation chain, embedding
+    # similarity, CDC merge, as-of/range joins, id-gap completeness).
+    # Simple variants and extra TPC-H shapes ride the tail; the full set
+    # is still swept locally by scripts/check_oracle.py / verify_all.sh.
     return {
+        # --- reference engines: diff / counts / sniff / normalize -------
         "diff_classify_orders": q_diff_classify,
         "diff_stats_orders": q_diff_stats,
         "dup_keys_lineitem": q_dup_keys,
         "daily_counts_events": q_daily_counts,
         "counts_crossfill_events": q_counts_crossfill,
         "count_mismatch_days": q_count_mismatch,
-        "session_stats_events": q_session_stats,
-        "count_anomalies_events": q_count_anomalies,
-        "profile_orders": q_profile_orders,
-        "json_extract_events": q_json_extract,
-        "rollup_events": q_rollup_events,
-        "sniff_histogram_orders": q_sniff_histogram,
         "sniff_stats_orders": q_sniff_stats,
+        "sniff_histogram_orders": q_sniff_histogram,
         "normalize_lineitem": q_normalize,
-        "q1_pricing_summary": q_q1,
-        "revenue_top10": q_revenue_top10,
-        "customers_without_orders": q_customers_without_orders,
-        "top3_suppliers_per_nation": q_top3_suppliers,
+        "profile_orders": q_profile_orders,
+        "profile_drift_orders": q_profile_drift,
+        # --- quality-filter pipeline ------------------------------------
+        "quality_filter_documents": q_quality_filter_docs,
+        "drop_reason_counts_documents": q_drop_reason_counts,
         "langid_documents": q_langid,
         "token_stats_documents": q_token_stats,
         "fingerprint_documents": q_fingerprint,
         "quality_score_documents": q_quality_score,
+        # --- dedup chain ------------------------------------------------
         "exact_dedup_documents": q_exact_dedup,
-        "stratified_sample_documents": q_stratified_sample,
-        "vocab_top_terms": q_vocab_top_terms,
+        "exact_dedup_survivors_documents": q_exact_dedup_survivors,
         "minhash_signatures_documents": q_minhash_signatures,
         "lsh_candidates_documents": q_lsh_candidates,
+        "lsh_bucket_stats_documents": q_lsh_bucket_stats,
         "jaccard_pairs_documents": q_jaccard_pairs,
-        "simhash_documents": q_simhash,
-        "simhash_near_dups_documents": q_simhash_near_dups,
         "minhash_near_dups_documents": q_minhash_near_dups,
         "near_dup_clusters_documents": q_near_dup_clusters,
         "cluster_survivors_documents": q_cluster_survivors,
+        "simhash_documents": q_simhash,
+        "simhash_near_dups_documents": q_simhash_near_dups,
         "decontaminate_documents": q_decontaminate,
+        "bloom_decontaminate_documents": q_bloom_decontaminate,
+        "incremental_dedup_documents": q_incremental_dedup,
+        # --- curation recipes + corpus ops ------------------------------
         "curate_documents": q_curate_documents,
+        "curate_documents_v2": q_curate_documents_v2,
         "curate_documents_hash": q_curate_documents_hash,
-        "lsh_bucket_stats_documents": q_lsh_bucket_stats,
         "source_cap_documents": q_source_cap,
         "source_cap_hash_documents": q_source_cap_hash,
         "source_keep_rate_documents": q_source_keep_rate,
+        "repetition_stats_documents": q_repetition_stats,
+        "boilerplate_lines_documents": q_boilerplate_lines,
+        "mixture_sample_documents": q_mixture_sample,
+        "pack_documents": q_pack_documents,
+        "chunk_documents": q_chunk_documents,
+        "quality_top_fraction_documents": q_quality_top_fraction,
+        # --- embeddings -------------------------------------------------
         "ann_topk_embeddings": q_ann_topk,
         "embedding_near_dup_pairs": q_embedding_near_dups,
-        "quality_filter_documents": q_quality_filter_docs,
-        "drop_reason_counts_documents": q_drop_reason_counts,
-        "drop_reason_examples_documents": q_drop_reason_examples,
+        "embedding_bucket_stats": q_embedding_bucket_stats,
+        # --- time series / CDC / completeness ---------------------------
         "asof_events": q_asof_events,
+        "range_count_events": q_range_count_events,
+        "apply_changes_orders": q_apply_changes,
+        "id_gaps_orders": q_id_gaps,
+        # ================= driver gate cut-off (50) =====================
+        "session_stats_events": q_session_stats,
+        "count_anomalies_events": q_count_anomalies,
+        "json_extract_events": q_json_extract,
+        "rollup_events": q_rollup_events,
+        "cube_events": q_cube_events,
+        "q1_pricing_summary": q_q1,
+        "revenue_top10": q_revenue_top10,
+        "customers_without_orders": q_customers_without_orders,
+        "top3_suppliers_per_nation": q_top3_suppliers,
+        "stratified_sample_documents": q_stratified_sample,
+        "vocab_top_terms": q_vocab_top_terms,
+        "drop_reason_examples_documents": q_drop_reason_examples,
         "quantiles_events": q_quantiles_events,
         "pivot_events_by_day": q_pivot_events_by_day,
-        "exact_dedup_survivors_documents": q_exact_dedup_survivors,
-        "embedding_bucket_stats": q_embedding_bucket_stats,
-        "cube_events": q_cube_events,
         "candidate_edit_distance_documents": q_candidate_edit_distance,
         "value_outliers_events": q_value_outliers,
         "multimodal_near_dup_clusters": q_multimodal_near_dup_clusters,
-        "boilerplate_lines_documents": q_boilerplate_lines,
-        "repetition_stats_documents": q_repetition_stats,
-        "range_count_events": q_range_count_events,
-        "quality_top_fraction_documents": q_quality_top_fraction,
-        "mixture_sample_documents": q_mixture_sample,
-        "pack_documents": q_pack_documents,
-        "incremental_dedup_documents": q_incremental_dedup,
-        "bloom_decontaminate_documents": q_bloom_decontaminate,
-        "apply_changes_orders": q_apply_changes,
-        "profile_drift_orders": q_profile_drift,
-        "curate_documents_v2": q_curate_documents_v2,
-        "chunk_documents": q_chunk_documents,
         "sliding_counts_events": q_sliding_counts,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
@@ -1210,12 +1290,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_counts_documents": q_pii_counts,
         "key_skew_lineitem": q_key_skew,
         "grouping_sets_events": q_grouping_sets,
-        "id_gaps_orders": q_id_gaps,
         "unpivot_events_metrics": q_unpivot,
         "cumulative_users_events": q_cumulative_users,
+        "q4_order_priority": q_q4_order_priority,
         "q7_volume_shipping": q_q7_volume_shipping,
         "q8_market_share": q_q8_market_share,
         "q12_priority_counts": q_q12_priority_counts,
+        "q13_customer_distribution": q_q13_customer_distribution,
+        "q16_parts_supplier": q_q16_parts_supplier,
     }
 
 
@@ -1300,4 +1382,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": oracle.q7_volume_shipping(),
         "q8_market_share": oracle.q8_market_share(),
         "q12_priority_counts": oracle.q12_priority_counts(),
+        "q4_order_priority": oracle.q4_order_priority(),
+        "q13_customer_distribution": oracle.q13_customer_distribution(),
+        "q16_parts_supplier": oracle.q16_parts_supplier(),
     }

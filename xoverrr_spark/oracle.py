@@ -1994,3 +1994,57 @@ WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
   AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
 GROUP BY l.l_returnflag
 """
+
+
+def q4_order_priority() -> str:
+    """TPC-H Q4 shape: priority counts of orders that EXISTS-match a
+    lineitem predicate — exercises Catalyst's correlated-EXISTS-to-semi
+    rewrite. Fixture lacks l_commitdate/l_receiptdate, so a returned line
+    (l_returnflag = 'R') plays the late-delivery role."""
+    return """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q13_customer_distribution() -> str:
+    """TPC-H Q13 shape: left-outer customer->orders with an exclusion
+    predicate (o_orderpriority plays the comment-pattern role), per-
+    customer count, then the distribution of counts. Customers with no
+    qualifying orders land in the c_count = 0 bucket, never drop."""
+    return """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+def q16_parts_supplier() -> str:
+    """TPC-H Q16 shape: supplier-count per part attribute with a NOT IN
+    anti-subquery — exercises Catalyst's null-aware anti-join rewrite.
+    The fixture has no partsupp table; lineitem is the part<->supplier
+    association, and negative-balance suppliers play the complaints role.
+    COUNT(DISTINCT) after the anti-join, exactly like the original."""
+    return """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#2'
+  AND p.p_size IN (11, 14, 23, 45, 19, 3, 36, 9)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
