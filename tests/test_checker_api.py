@@ -458,3 +458,40 @@ def test_check_profile_drift_failed_path_persists_audit_row(spark, tmp_path):
     assert status == "failed" and stats is None and "error" in report
     audit = spark.read.parquet(results)
     assert audit.filter("check_type = 'profile_drift' AND status = 'failed'").count() == 1
+
+
+def test_check_profile_drift_catches_mean_shift_at_constant_counts(spark, tmp_path):
+    """The histogram term: same row count, null rate, and distinct count,
+    but the numeric distribution shifted — counters see nothing, the
+    histogram TV distance flips the check to FAILED (r03 verdict item)."""
+    import json
+
+    from xoverrr_spark.checker import QualityChecker
+
+    src = spark.createDataFrame(
+        [(i, float(i)) for i in range(2000)], "id bigint, x double")
+    trg = spark.createDataFrame(
+        [(i, float(i) + 1000.0) for i in range(2000)], "id bigint, x double")
+    src.createOrReplaceTempView("shift_src")
+    trg.createOrReplaceTempView("shift_trg")
+    results = str(tmp_path / "results")
+    qc = QualityChecker(spark, results_table=results)
+
+    status, report, stats, rows = qc.check_profile_drift(
+        "shift_src", "shift_trg", tolerance_pct=10.0)
+    assert status == "failed", report           # TV ~0.5 -> ~50% drift
+    assert stats["drift_pct"] >= 40.0
+    assert "hist_tv" in report
+    # id is identical -> its histogram distance is ~0; only x drifts
+    audit = spark.read.parquet(results).filter(
+        "check_type = 'profile_drift'").collect()[0]
+    tvs = {d["column_name"]: d["hist_tv"]
+           for d in json.loads(audit["details_issue_examples_json"])}
+    assert tvs["x"] >= 0.4 and tvs["id"] <= 0.01, tvs
+    breakdown = json.loads(audit["details_issue_breakdown_json"])
+    assert {b[0] for b in breakdown} == {"id", "x"}
+
+    # the same distribution passes at the same tolerance
+    status2, _, stats2, _ = qc.check_profile_drift(
+        "shift_src", "shift_src", tolerance_pct=10.0)
+    assert status2 == "success" and stats2["drift_pct"] == 0.0

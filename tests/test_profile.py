@@ -93,3 +93,34 @@ def test_key_skew_stats_flags_hot_and_null_keys(spark):
     assert [r.k for r in got[:2]] == [1, None]
     assert got[0].cnt == 50 and got[0].share == 0.5
     assert got[1].cnt == 30   # the accidental-null-skew case is visible
+
+
+def test_histogram_drift_distances(spark):
+    from xoverrr_spark.operators.profile import histogram_drift
+
+    src = spark.createDataFrame(
+        [(float(i), 1.0, float(i), None) for i in range(1000)],
+        "x double, const double, y double, dead double")
+    trg = spark.createDataFrame(
+        [(float(i) + 1000.0, 1.0, float(i), None) for i in range(1000)],
+        "x double, const double, y double, dead double")
+    got = {r["column_name"]: r for r in
+           histogram_drift(src, trg, ["x", "const", "y", "dead"]).collect()}
+    # disjoint ranges: total variation ~1 (all mass unmatched)
+    assert got["x"]["hist_tv"] > 0.9
+    # identical distributions: 0
+    assert got["y"]["hist_tv"] == 0.0
+    # constant at the same value on both sides (lo == hi): no signal, 0
+    assert got["const"]["hist_tv"] == 0.0
+    # all-null on both sides: no signal, 0
+    assert got["dead"]["hist_tv"] == 0.0
+
+
+def test_histogram_drift_one_side_empty_column(spark):
+    from xoverrr_spark.operators.profile import histogram_drift
+
+    src = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    trg = spark.createDataFrame([(None,)], "x double")
+    [r] = histogram_drift(src, trg, ["x"]).collect()
+    # all of src's mass unmatched -> l1 = 1, TV = 0.5
+    assert abs(r["hist_l1"] - 1.0) < 1e-9 and r["trg_n"] == 0

@@ -400,8 +400,14 @@ class QualityChecker:
         distinct-count collapse from a broken upstream join.
 
         drift_pct = max over common columns of {|row delta| / src rows,
-        |null-rate delta|, |distinct delta| / src distinct} * 100;
-        final_score = 100 - drift_pct (floored at 0).
+        |null-rate delta|, |distinct delta| / src distinct, and — for
+        numeric columns — histogram total-variation distance
+        (operators.profile.histogram_drift)} * 100;
+        final_score = 100 - drift_pct (floored at 0). The histogram term
+        catches distribution shifts at CONSTANT counts (e.g. a mean shift
+        from a broken unit conversion) that the counter terms are blind
+        to; it costs one extra scan per side, melted over all numeric
+        columns at once.
         """
         run_id = uuid.uuid4().hex[:16]
         timings = CheckRunTimings(run_started_at=CheckRunTimings.now())
@@ -424,11 +430,25 @@ class QualityChecker:
             timings.mark_dataset_check_start()
             rows = P.drift_from_profiles(ps, pt).orderBy("column_name").collect()
 
+            from pyspark.sql.types import NumericType
+
+            numeric = [
+                f.name for f in src.schema.fields
+                if f.name in cols and isinstance(f.dataType, NumericType)
+            ]
+            hist_tv = {}
+            if numeric:
+                hist_tv = {
+                    r["column_name"]: r["hist_tv"]
+                    for r in P.histogram_drift(src, trg, numeric).collect()
+                }
+
             def _col_drift(r):
                 parts = [
                     abs(r["row_delta"]) * 100.0 / max(r["src_rows"], 1),
                     abs(r["trg_null_rate"] - r["src_null_rate"]) * 100.0,
                     abs(r["distinct_delta"]) * 100.0 / max(r["src_distinct"], 1),
+                    hist_tv.get(r["column_name"], 0.0) * 100.0,
                 ]
                 return max(parts)
 
@@ -444,10 +464,12 @@ class QualityChecker:
                 f"tolerance: {tolerance_pct}",
             ]
             for r in rows:
+                htv = hist_tv.get(r["column_name"])
                 lines.append(
                     f"  {r['column_name']}: rows {r['src_rows']}->{r['trg_rows']} "
                     f"nulls {r['src_nulls']}->{r['trg_nulls']} "
                     f"distinct {r['src_distinct']}->{r['trg_distinct']}"
+                    + (f" hist_tv {htv:.4f}" if htv is not None else "")
                 )
             text_report = "\n".join(lines)
             stats = {
@@ -455,6 +477,26 @@ class QualityChecker:
                 "drift_pct": round(drift_pct, 4),
                 "final_score": round(max(0.0, 100.0 - drift_pct), 4),
             }
+            detail_dicts = [
+                {**r.asDict(), "hist_tv": hist_tv.get(r["column_name"])}
+                for r in rows
+            ]
+            # audit-row details: per-column worst drift (incl. histogram
+            # distance), in the issue_breakdown (column, value) shape
+            audit_details = D.CheckDetails(
+                issue_breakdown=[
+                    (r["column_name"], round(_col_drift(r), 4)) for r in rows
+                ],
+                issue_examples=[
+                    {"column_name": c, "hist_tv": round(v, 6)}
+                    for c, v in sorted(hist_tv.items())
+                ],
+                dup_source_keys_examples=(),
+                dup_target_keys_examples=(),
+                source_only_keys_examples=(),
+                target_only_keys_examples=(),
+                evaluated_columns=list(cols),
+            )
             report = text_report
             if fmt == "json":
                 report = check_result_json(
@@ -463,14 +505,14 @@ class QualityChecker:
                     source_table=source_table if isinstance(source_table, str) else None,
                     target_table=target_table if isinstance(target_table, str) else None,
                     timezone=self.timezone, stats=stats,
-                    details=[r.asDict() for r in rows],
+                    details=detail_dicts,
                 )
             timings.finish_run()
             self._persist(
                 run_id=run_id, check_type="profile_drift", status=status,
                 check_name=name,
                 source_table=source_table, target_table=target_table,
-                report=text_report, timings=timings,
+                report=text_report, timings=timings, details=audit_details,
                 stats_overrides={"final_score": stats["final_score"]},
             )
             self._track(status, source_table, target_table)

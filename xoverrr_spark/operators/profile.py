@@ -194,6 +194,120 @@ def drift_from_profiles(src_profile: DataFrame, trg_profile: DataFrame) -> DataF
     )
 
 
+def histogram_drift(
+    src: DataFrame,
+    trg: DataFrame,
+    columns: list[str],
+    n_bins: int = 32,
+) -> DataFrame:
+    """Per-column histogram distance between two tables — catches the
+    drift family profile counters are blind to: a distribution that
+    shifts at CONSTANT row count, null rate, and distinct count (e.g. a
+    mean shift from a broken unit conversion upstream).
+
+    Returns ``(column_name, hist_l1, hist_tv, src_n, trg_n)`` where
+    ``hist_l1 = sum_i |p_i - q_i|`` over shared fixed-width bins (p, q the
+    two sides' normalized frequencies, l1 in [0, 2]) and ``hist_tv`` is
+    the total-variation distance ``l1 / 2`` in [0, 1].
+
+    Scale shape: bin edges come from the combined min/max (two single-row
+    aggregates, collected — bounded driver pull like the diff stat rows),
+    then ONE melted pass per side bins every column together (explode of
+    per-column structs -> groupBy (column, bin) with map-side combine,
+    shuffle size #cols x n_bins). Columns that are all-null on both sides
+    or constant at the same value (lo == hi) carry no histogram signal and
+    return hist_l1 = 0. A column with values on exactly one side scores
+    l1 = 1 (all of one side's mass unmatched; the null-rate counter
+    flags the same shift at 100%).
+    """
+    if n_bins <= 0:
+        raise ValueError("need n_bins > 0")
+    if not columns:
+        raise ValueError("no numeric columns to histogram")
+
+    def _bounds(df):
+        aggs = []
+        for c in columns:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"{c}__lo"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"{c}__hi"))
+        return df.agg(*aggs).collect()[0]
+
+    bs, bt = _bounds(src), _bounds(trg)
+    specs = []  # (column, lo, bin_width) for binnable columns
+    degenerate = []  # columns with no histogram signal on either side
+    for c in columns:
+        los = [v for v in (bs[f"{c}__lo"], bt[f"{c}__lo"]) if v is not None]
+        his = [v for v in (bs[f"{c}__hi"], bt[f"{c}__hi"]) if v is not None]
+        if not los or min(los) >= max(his):
+            degenerate.append(c)
+        else:
+            lo, hi = min(los), max(his)
+            specs.append((c, lo, (hi - lo) / n_bins))
+
+    spark = src.sparkSession
+
+    def _binned(df, side):
+        structs = []
+        for c, lo, w in specs:
+            raw = F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(w))
+            # greatest/least SKIP nulls (a null value would land in bin 0,
+            # not stay null) — gate on the value explicitly
+            b = F.when(
+                F.col(c).isNotNull(),
+                F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)),
+            )
+            structs.append(
+                F.struct(F.lit(c).alias("column_name"), b.alias("bin"))
+            )
+        return (
+            df.select(F.explode(F.array(*structs)).alias("p"))
+            .select("p.*")
+            .filter(F.col("bin").isNotNull())  # null value -> null bin
+            .groupBy("column_name", "bin")
+            .agg(F.count(F.lit(1)).alias(f"{side}_cnt"))
+        )
+
+    if specs:
+        s = _binned(src, "src")
+        t = _binned(trg, "trg")
+        joined = s.join(t, ["column_name", "bin"], "full_outer").select(
+            "column_name",
+            F.coalesce("src_cnt", F.lit(0)).alias("src_cnt"),
+            F.coalesce("trg_cnt", F.lit(0)).alias("trg_cnt"),
+        )
+        tot = joined.groupBy("column_name").agg(
+            F.sum("src_cnt").alias("src_n"), F.sum("trg_cnt").alias("trg_n")
+        )
+        dist = (
+            joined.join(tot, "column_name")
+            .groupBy("column_name")
+            .agg(
+                F.sum(
+                    F.abs(
+                        F.coalesce(F.try_divide("src_cnt", "src_n"), F.lit(0.0))
+                        - F.coalesce(F.try_divide("trg_cnt", "trg_n"), F.lit(0.0))
+                    )
+                ).alias("hist_l1"),
+                F.first("src_n").alias("src_n"),
+                F.first("trg_n").alias("trg_n"),
+            )
+        )
+    else:
+        dist = spark.createDataFrame(
+            [], "column_name string, hist_l1 double, src_n bigint, trg_n bigint"
+        )
+    if degenerate:
+        deg = spark.createDataFrame(
+            [(c, 0.0, 0, 0) for c in degenerate],
+            "column_name string, hist_l1 double, src_n bigint, trg_n bigint",
+        )
+        dist = dist.unionByName(deg)
+    return dist.select(
+        "column_name", "hist_l1", (F.col("hist_l1") / 2).alias("hist_tv"),
+        "src_n", "trg_n",
+    )
+
+
 def histogram(
     df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int
 ) -> DataFrame:
