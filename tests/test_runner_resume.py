@@ -133,3 +133,49 @@ def test_dedup_images_prestage_removes_clones(spark, tmp_path):
     # decisions never saw the clones
     dec = spark.read.parquet(f"{out}/decisions")
     assert dec.filter(F.col("image_id").startswith("zz_")).count() == 0
+
+
+def test_files_per_bucket_bounds_output_file_count(spark, tmp_path):
+    """Small-files guard (r03 verdict #8): with files_per_bucket=1 every
+    bucket writes exactly one decisions/kept part file, and the tiny
+    per-bucket aggregates (metrics, metrics_lang) write one file each
+    regardless — a 4096-bucket run must not emit a file per shuffle
+    partition per output."""
+    out = str(tmp_path / "sized_run")
+    images = images_df(spark, 400, 7)
+    run_pipeline(spark, images, out, n_buckets=BUCKETS, write_kept=True,
+                 files_per_bucket=1)
+    for sub in ("decisions", "kept", "metrics", "metrics_lang"):
+        for b in range(BUCKETS):
+            parts = glob.glob(f"{out}/{sub}/bucket={b}/part-*.parquet")
+            assert len(parts) == 1, (sub, b, parts)
+    # results still read back whole
+    assert spark.read.parquet(f"{out}/decisions").count() == 400
+
+
+def test_runner_cli_ppl_artifact_matches_embedded_scorer(spark, tmp_path):
+    """--ppl-artifact wired end-to-end (r03 verdict #7): a CLI run with a
+    char-LM artifact trained on the built-in seed corpus produces
+    bit-identical decisions AND ppl scores to the embedded-table run."""
+    import pandas as pd
+
+    from xoverrr_spark.functions.models import train_char_bigram_artifact
+    from xoverrr_spark.functions.perplexity import _SEED_CORPUS
+    from xoverrr_spark.pipeline.runner import main
+
+    art = str(tmp_path / "charlm.npz")
+    train_char_bigram_artifact(_SEED_CORPUS, art)
+
+    out_a = str(tmp_path / "with_artifact")
+    out_b = str(tmp_path / "embedded")
+    main(["--synthetic", "120", "--seed", "5", "--output", out_a,
+          "--buckets", "2", "--ppl-artifact", art])
+    main(["--synthetic", "120", "--seed", "5", "--output", out_b,
+          "--buckets", "2"])
+
+    cols = ["image_id", "ppl", "keep", "drop_reasons"]
+    a = (spark.read.parquet(f"{out_a}/decisions").select(cols).toPandas()
+         .sort_values("image_id").reset_index(drop=True))
+    b = (spark.read.parquet(f"{out_b}/decisions").select(cols).toPandas()
+         .sort_values("image_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

@@ -85,13 +85,27 @@ def _run_bucket(
     b: int,
     salt_partitions: int,
     write_kept: bool = False,
+    ppl_udf_override=None,
+    files_per_bucket: int | None = None,
 ) -> dict:
     """One bucket's unit of work: filter -> salt -> pipeline -> decisions +
     metrics + lineage + completion marker. Safe to run concurrently with
     other buckets (all outputs are bucket-scoped paths). ``write_kept``
     additionally writes the CURATED records (kept rows with every input
     column incl. the binary payload) under kept/bucket=<b> — the product
-    a downstream training job actually consumes."""
+    a downstream training job actually consumes.
+
+    ``ppl_udf_override`` swaps the embedded perplexity scorer for an
+    artifact-backed one (functions/models.artifact_ppl_udf) — same
+    (string)->double contract, wired from the CLI via ``--ppl-artifact``.
+
+    Small-files guard: the tiny per-bucket aggregates (metrics,
+    metrics_lang, lineage) always write ONE file each — by default they'd
+    emit one near-empty file per shuffle partition, and a 4096-bucket run
+    would drown the output dir in ~100k stub files. ``files_per_bucket``
+    additionally sizes the decisions/kept outputs to exactly N files each
+    (round-robin repartition; leave None to keep one file per salt task
+    when buckets are large enough that those files are well-sized)."""
     t0 = time.time()
     part = bucketed.filter(F.col("bucket") == b).drop("bucket")
     if salt_partitions > 1:
@@ -100,27 +114,33 @@ def _run_bucket(
         # k distinct salt values get murmur3-hashed again and collide,
         # leaving partitions empty (observed 4/8 filled).
         part = part.repartition(salt_partitions, F.xxhash64("image_id"))
+    from ..sources import write_parquet_sized
+
     if write_kept:
         from .quality_filter import OUTPUT_COLUMNS, annotate
 
         # ONE annotate feeds both outputs (persisted: branches of a plan
         # never share execution); decisions stay the decision projection
-        ann = annotate(part).persist()
+        ann = annotate(part, ppl_udf_override=ppl_udf_override).persist()
         decisions = ann.select(*OUTPUT_COLUMNS)
     else:
         ann = None
-        decisions = quality_filter(part)
+        decisions = quality_filter(part, ppl_udf_override=ppl_udf_override)
     dec_path = os.path.join(output_dir, "decisions", f"bucket={b}")
-    decisions.write.mode("overwrite").parquet(dec_path)
+    write_parquet_sized(decisions, dec_path, target_files=files_per_bucket)
     if ann is not None:
-        ann.filter("keep").write.mode("overwrite").parquet(
-            os.path.join(output_dir, "kept", f"bucket={b}")
+        write_parquet_sized(
+            ann.filter("keep"),
+            os.path.join(output_dir, "kept", f"bucket={b}"),
+            target_files=files_per_bucket,
         )
         ann.unpersist()
 
     dec_out = spark.read.parquet(dec_path)
     metrics = drop_reason_breakdown(dec_out).withColumn("run_id", F.lit(run_id))
-    metrics.write.mode("overwrite").parquet(os.path.join(output_dir, "metrics", f"bucket={b}"))
+    write_parquet_sized(
+        metrics, os.path.join(output_dir, "metrics", f"bucket={b}"), target_files=1
+    )
     # per-language keep metrics: the skew the north rule calls out lives in
     # language clusters, so drop-rate regressions must be visible per lang
     lang_metrics = (
@@ -129,8 +149,10 @@ def _run_bucket(
             F.count(F.when(F.col("keep"), 1)).alias("n_keep"),
         ).withColumn("run_id", F.lit(run_id))
     )
-    lang_metrics.write.mode("overwrite").parquet(
-        os.path.join(output_dir, "metrics_lang", f"bucket={b}")
+    write_parquet_sized(
+        lang_metrics,
+        os.path.join(output_dir, "metrics_lang", f"bucket={b}"),
+        target_files=1,
     )
     counts = dec_out.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -232,6 +254,8 @@ def run_pipeline(
     write_kept: bool = False,
     dedup_images: bool = False,
     image_dedup_hamming: int = 2,
+    ppl_udf_override=None,
+    files_per_bucket: int | None = None,
     _fail_after_bucket: int | None = None,
 ) -> dict:
     """Run the quality filter bucket-by-bucket with checkpointed resume.
@@ -274,7 +298,8 @@ def run_pipeline(
         with ThreadPoolExecutor(max_workers=concurrency) as pool:
             rows = pool.map(
                 lambda b: _run_bucket(
-                    spark, bucketed, output_dir, run_id, b, salt_partitions, write_kept
+                    spark, bucketed, output_dir, run_id, b, salt_partitions,
+                    write_kept, ppl_udf_override, files_per_bucket,
                 ),
                 todo,
             )
@@ -283,7 +308,8 @@ def run_pipeline(
         for b in todo:
             lineage.append(
                 _run_bucket(
-                    spark, bucketed, output_dir, run_id, b, salt_partitions, write_kept
+                    spark, bucketed, output_dir, run_id, b, salt_partitions,
+                    write_kept, ppl_udf_override, files_per_bucket,
                 )
             )
             if _fail_after_bucket is not None and b >= _fail_after_bucket:
@@ -338,6 +364,16 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--write-kept", action="store_true",
                     help="also write curated records (kept rows, all input "
                     "columns incl. payload) under kept/bucket=N")
+    ap.add_argument("--ppl-artifact",
+                    help="path to a trained char-LM .npz artifact "
+                    "(functions/models.train_char_bigram_artifact); shipped "
+                    "to executors via SparkContext.addFile and swapped in "
+                    "for the embedded perplexity table — no code change "
+                    "needed to run with a production-trained scorer")
+    ap.add_argument("--files-per-bucket", type=int, default=None,
+                    help="size decisions/kept outputs to exactly N parquet "
+                    "files per bucket (small-files guard for many-bucket "
+                    "runs); default keeps one file per salt task")
     args = ap.parse_args(argv)
 
     from ..session import get_spark
@@ -353,12 +389,19 @@ def main(argv: list[str] | None = None) -> None:
         images = load_table(spark, args.input, args.snapshot_id)
     else:
         ap.error("need --input or --synthetic N")
+    ppl_override = None
+    if args.ppl_artifact:
+        from ..functions.models import artifact_ppl_udf
+
+        spark.sparkContext.addFile(args.ppl_artifact)
+        ppl_override = artifact_ppl_udf(os.path.basename(args.ppl_artifact))
     summary = run_pipeline(
         spark, images, args.output, args.buckets,
         salt_partitions=args.salt, resume=not args.no_resume,
         tolerance_drop_pct=args.tolerance, concurrency=args.concurrency,
         write_kept=args.write_kept, dedup_images=args.dedup_images,
         image_dedup_hamming=args.image_dedup_hamming,
+        ppl_udf_override=ppl_override, files_per_bucket=args.files_per_bucket,
     )
     if args.verify_golden:
         if not args.synthetic:
