@@ -1,0 +1,114 @@
+"""Stream-stream interval join: batch parity on a finite drain, and
+late-data drop pinned ACROSS a checkpoint restart (the same two-run,
+one-checkpoint protocol as test_stream_counts)."""
+
+from datetime import datetime as dt
+
+import pandas as pd
+
+from xoverrr_spark.streaming.stream_join import interval_join
+
+
+def _write(path, rows, cols):
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark can't read ns
+    pdf.to_parquet(path)
+
+
+def _drain(spark, left_dir, right_dir, ckpt):
+    rows = []
+    l = spark.readStream.schema("k bigint, lv string, ts timestamp").parquet(left_dir)
+    r = spark.readStream.schema("k bigint, rv string, ts timestamp").parquet(right_dir)
+    q = (
+        interval_join(l, r, "k", watermark_delay="2 minutes",
+                      interval="5 minutes")
+        .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {(r.k, r.lv, r.rv) for r in rows}
+
+
+T0 = dt(2024, 1, 1, 0, 0, 0)
+
+
+def _t(m, s=0):
+    return dt(2024, 1, 1, 0, m, s)
+
+
+def test_interval_join_matches_batch_and_drops_late(spark, tmp_path):
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(), rdir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: impressions at 00:00/00:01, clicks in and out of the 5-minute
+    # window, plus a 00:20 row on each side to advance the watermark to 00:18
+    _write(ldir / "a.parquet",
+           [(1, "imp1", _t(0)), (2, "imp2", _t(1)), (9, "wm", _t(20))],
+           ["k", "lv", "ts"])
+    _write(rdir / "a.parquet",
+           [(1, "click_in", _t(3)),        # inside (00:00, 00:05]
+            (1, "click_out", _t(6)),       # outside the interval
+            (2, "click_in2", _t(5, 59)),   # inside (00:01, 00:06]
+            (3, "no_imp", _t(2)),          # key never impressed
+            (9, "wm", _t(20, 1))],
+           ["k", "rv", "ts"])
+    got1 = _drain(spark, str(ldir), str(rdir), ckpt)
+    assert got1 == {(1, "imp1", "click_in"), (2, "imp2", "click_in2"),
+                    (9, "wm", "wm")}
+
+    # batch parity on the same finite inputs
+    lb = spark.read.parquet(str(ldir))
+    rb = spark.read.parquet(str(rdir))
+    batch = {
+        (r.k, r.lv, r.rv)
+        for r in interval_join(lb, rb, "k").collect()
+    }
+    assert batch == got1
+
+    # run 2 (restart, same checkpoint): a matching click OLDER than the
+    # watermark (00:18) joins nothing — its impression's state is evicted;
+    # a fresh in-time pair still joins.
+    _write(rdir / "b.parquet", [(1, "too_late", _t(4, 30))], ["k", "rv", "ts"])
+    _write(ldir / "b.parquet", [(5, "imp5", _t(21))], ["k", "lv", "ts"])
+    got2 = _drain(spark, str(ldir), str(rdir), ckpt)
+    assert not any(r[2] == "too_late" for r in got2), got2
+
+    _write(ldir / "c.parquet", [(6, "imp6", _t(22))], ["k", "lv", "ts"])
+    _write(rdir / "c.parquet", [(6, "click6", _t(23))], ["k", "rv", "ts"])
+    got3 = _drain(spark, str(ldir), str(rdir), ckpt)
+    assert (6, "imp6", "click6") in got3
+
+
+def test_interval_join_null_keys_and_collisions(spark):
+    import pytest
+
+    l = spark.createDataFrame(
+        [(None, "a", T0), (1, "b", T0)], "k bigint, lv string, ts timestamp")
+    r = spark.createDataFrame(
+        [(None, "x", _t(1)), (1, "y", _t(1))], "k bigint, rv string, ts timestamp")
+    got = interval_join(l, r, "k").collect()
+    # null keys filtered (stated in docstring), the real pair joins
+    assert [(x.k, x.lv, x.rv) for x in got] == [(1, "b", "y")]
+
+    bad = r.withColumnRenamed("rv", "lv")
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(l, bad, "k")
+
+    with pytest.raises(ValueError, match="join_type"):
+        interval_join(l, r, "k", join_type="full_outer")
+
+
+def test_interval_join_left_outer_emits_unmatched(spark):
+    # batch form sanity for the left_outer variant: unmatched left rows
+    # survive with null right columns
+    l = spark.createDataFrame(
+        [(1, "hit", T0), (2, "miss", T0)], "k bigint, lv string, ts timestamp")
+    r = spark.createDataFrame(
+        [(1, "y", _t(1))], "k bigint, rv string, ts timestamp")
+    got = {(x.k, x.lv, x.rv)
+           for x in interval_join(l, r, "k", join_type="left_outer").collect()}
+    assert got == {(1, "hit", "y"), (2, "miss", None)}
