@@ -269,6 +269,18 @@ def main() -> None:
         "external_loadavg_at_start": round(load_before, 2),
     }
 
+    # staged dedup-job scale evidence (recorded by scripts/
+    # dedup_scale_stress.py on synthetic corpora up to 10M docs — far
+    # beyond sf0.1's 5k documents; each record carries its own
+    # recorded_at + loadavg). Folded in verbatim so the per-round JSON
+    # carries the per-stage walls; DEDUP_SCALE.md has the table.
+    scale_json = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "dedup_scale.json"
+    )
+    if os.path.exists(scale_json):
+        with open(scale_json) as fh:
+            result["dedup_job_scale_recorded"] = json.load(fh)
+
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as fh:
         fh.write(
             "# BENCH — measured on this machine (local mode)\n\n"
@@ -308,6 +320,10 @@ def main() -> None:
             "Executor-level (multi-JVM local-cluster) scaling lives in\n"
             "BENCH_EXECUTORS.md (scripts/executor_scaling.py) — measured\n"
             "1.045 efficiency from 1 to 4 real executors.\n\n"
+            "Staged dedup-job scale evidence (per-stage walls at up to 10M\n"
+            "docs, two parallelism levels) lives in DEDUP_SCALE.md\n"
+            "(scripts/dedup_scale_stress.py) and rides the bench JSON as\n"
+            "dedup_job_scale_recorded.\n\n"
             "Per-operator seconds at "
             f"{SF_DIR}:\n\n| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in queries.items())

@@ -1,0 +1,179 @@
+"""Scale-stress the staged dedup job and record per-stage wall times.
+
+r03 verdict #1: every dedup operator is oracle-correct, but the staged
+JOB (pipeline/dedup_runner.run_dedup) had no measured wall beyond tiny
+CLI drives. This script runs the full 7-stage job on a synthetic corpus
+(scripts/gen_corpus.py — known 20% dup structure at any N) at one or
+more (n_docs, cores) configurations, each in a FRESH subprocess/JVM
+(local[N] is fixed at session creation), and records:
+
+- per-stage wall times (from the job's own stage_walls_s summary),
+- total job wall, throughput (docs/s), candidate/verified pair counts
+  (proof the candidate set stays candidate-bounded as N grows),
+- the over-cap audit, external loadavg before each run.
+
+Results append to ``.bench_cache/dedup_scale.json`` (a list, one entry
+per run) and rewrite ``DEDUP_SCALE.md``; bench.py folds the latest
+entries into its JSON line as recorded evidence.
+
+Usage:
+    python scripts/dedup_scale_stress.py --configs 10000000:32 2000000:32 2000000:8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.path.join(REPO, ".bench_cache")
+RESULTS = os.path.join(CACHE, "dedup_scale.json")
+
+
+def _loadavg() -> float:
+    return os.getloadavg()[0]
+
+
+def _corpus_path(n: int, seed: int) -> str:
+    return os.path.join(CACHE, f"corpus_{n}_{seed}")
+
+
+def _ensure_corpus(n: int, seed: int, cores: int) -> str:
+    path = _corpus_path(n, seed)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), PYTHONPATH=REPO)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "gen_corpus.py"),
+         "--n", str(n), "--seed", str(seed), "--output", path],
+        check=True, env=env, cwd=REPO,
+    )
+    return path
+
+
+def run_config(n: int, cores: int, seed: int, driver_mem: str) -> dict:
+    corpus = _ensure_corpus(n, seed, cores=32)
+    out = os.path.join(CACHE, f"dedup_run_{n}_{cores}")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cores),
+        XOVERRR_DRIVER_MEM=driver_mem,
+        PYTHONPATH=REPO,
+    )
+    load = _loadavg()
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_dedup.py"),
+         "--input", corpus, "--output", out, "--no-resume"],
+        check=True, env=env, cwd=REPO, capture_output=True, text=True,
+    )
+    wall = time.time() - t0
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    rec = {
+        "n_docs": n,
+        "cores": cores,
+        "seed": seed,
+        "total_wall_s": round(wall, 1),
+        "job_docs_per_sec": round(n / wall, 1),
+        "stage_walls_s": summary["stage_walls_s"],
+        "candidate_pairs": summary["candidate_pairs"],
+        "verified_pairs": summary["verified_pairs"],
+        "dup_pct": summary["dup_pct"],
+        "kept_docs": summary["kept_docs"],
+        "over_cap_buckets": summary["over_cap_buckets"],
+        "over_cap_docs": summary["over_cap_docs"],
+        "external_loadavg_at_start": round(load, 2),
+        "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)  # evidence kept in rec, not disk
+    return rec
+
+
+def write_md(records: list[dict]) -> None:
+    lines = [
+        "# Staged dedup job — scale evidence",
+        "",
+        "The 7-stage resumable dedup job (`pipeline/dedup_runner.run_dedup`)",
+        "run end-to-end on synthetic corpora (`scripts/gen_corpus.py`,",
+        "engineered ~10% exact + ~10% near dups in triples, so the expected",
+        "outcome is closed-form: dup_pct ~= 20, candidates ~= 0.3 n).",
+        "Each run is a fresh JVM at the stated local[N]; every stage's wall",
+        "comes from the job's own summary. `candidate_pairs ~= 3 pairs per",
+        "dup triple` at every N shows the LSH band join stays",
+        "candidate-bounded — no quadratic creep with corpus size.",
+        "",
+        "| docs | cores | total s | docs/s | signatures | bucket_stats | candidates | pairs | clusters | survivors | kept | cand pairs | over-cap docs | loadavg |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in records:
+        w = r["stage_walls_s"]
+        lines.append(
+            f"| {r['n_docs']:,} | {r['cores']} | {r['total_wall_s']} | "
+            f"{r['job_docs_per_sec']:,.0f} | "
+            + " | ".join(str(w.get(s, "-")) for s in
+                         ("signatures", "bucket_stats", "candidates", "pairs",
+                          "clusters", "survivors", "kept"))
+            + f" | {r['candidate_pairs']:,} | {r['over_cap_docs']} "
+            f"| {r['external_loadavg_at_start']} |"
+        )
+    # scaling efficiency for any same-n pairs at different cores
+    by_n: dict = {}
+    for r in records:
+        by_n.setdefault(r["n_docs"], {})[r["cores"]] = r
+    for n, by_c in sorted(by_n.items()):
+        cs = sorted(by_c)
+        for lo, hi in zip(cs, cs[1:]):
+            t_lo, t_hi = by_c[lo]["total_wall_s"], by_c[hi]["total_wall_s"]
+            eff = (t_lo / t_hi) / (hi / lo)
+            lines += [
+                "",
+                f"**Scaling {n:,} docs, local[{lo}] -> local[{hi}]: "
+                f"{t_lo}s -> {t_hi}s, speedup {t_lo / t_hi:.2f}x, "
+                f"efficiency {eff:.3f}** (hardware caps 8->32 at ~0.56 on "
+                "this SMT/shared host — see BENCH.md).",
+            ]
+    lines += [
+        "",
+        f"Recorded: {records[-1]['recorded_at'] if records else 'n/a'} — "
+        "regenerate with `python scripts/dedup_scale_stress.py`.",
+        "",
+    ]
+    with open(os.path.join(REPO, "DEDUP_SCALE.md"), "w") as fh:
+        fh.write("\n".join(lines))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", nargs="+", default=["2000000:32", "2000000:8"],
+                    help="n_docs:cores pairs, run in order")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--driver-mem", default="48g")
+    args = ap.parse_args(argv)
+
+    os.makedirs(CACHE, exist_ok=True)
+    records = []
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as fh:
+            records = json.load(fh)
+    for cfg in args.configs:
+        n, cores = (int(x) for x in cfg.split(":"))
+        print(f"== {n:,} docs at local[{cores}] (loadavg {_loadavg():.2f}) ==",
+              flush=True)
+        rec = run_config(n, cores, args.seed, args.driver_mem)
+        print(json.dumps(rec), flush=True)
+        # replace any older record for the same config
+        records = [r for r in records
+                   if (r["n_docs"], r["cores"]) != (n, cores)] + [rec]
+        with open(RESULTS, "w") as fh:
+            json.dump(records, fh, indent=1)
+        write_md(sorted(records, key=lambda r: (r["n_docs"], r["cores"])))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,10 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def _stage(name: str, out_dir: str, resume: bool, build, log) -> str:
+def _stage(
+    name: str, out_dir: str, resume: bool, build, log,
+    walls: dict | None = None,
+) -> str:
     path = os.path.join(out_dir, name)
     if resume and _done(path):
         log(f"stage {name}: complete, skipping")
@@ -49,7 +52,10 @@ def _stage(name: str, out_dir: str, resume: bool, build, log) -> str:
     df = build()
     df.write.mode("overwrite").parquet(path)
     D.release_intermediates(df)
-    log(f"stage {name}: wrote {path} in {time.time() - t0:.1f}s")
+    wall = time.time() - t0
+    if walls is not None:
+        walls[name] = round(wall, 2)
+    log(f"stage {name}: wrote {path} in {wall:.1f}s")
     return path
 
 
@@ -68,11 +74,12 @@ def run_dedup(
     log=print,
 ) -> dict:
     os.makedirs(output_dir, exist_ok=True)
+    walls: dict = {}
 
     sig_p = _stage(
         "signatures", output_dir, resume,
         lambda: D.minhash_signature(docs, id_col, text_col, num_hashes, shingle_n),
-        log,
+        log, walls=walls,
     )
     sig = spark.read.parquet(sig_p)
 
@@ -81,29 +88,35 @@ def run_dedup(
         lambda: D.lsh_bucket_stats(
             sig, num_hashes, bands, max_bucket_size or D.DEFAULT_MAX_BUCKET
         ),
-        log,
+        log, walls=walls,
     )
 
     cand_p = _stage(
         "candidates", output_dir, resume,
         lambda: D.lsh_candidate_pairs(sig, num_hashes, bands, max_bucket_size),
-        log,
+        log, walls=walls,
     )
     cands = spark.read.parquet(cand_p)
 
-    pairs_p = _stage(
-        "pairs", output_dir, resume,
-        lambda: D.candidate_jaccard(docs, id_col, text_col, cands, shingle_n)
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("doc_a", "doc_b", "jaccard"),
-        log,
-    )
+    def _pairs():
+        j = D.candidate_jaccard(docs, id_col, text_col, cands, shingle_n)
+        out = j.filter(F.col("jaccard") >= jaccard_threshold).select(
+            "doc_a", "doc_b", "jaccard"
+        )
+        # carry j's persisted shingle-set cache onto the derived frame so
+        # _stage's release_intermediates frees it after the write
+        out._xoverrr_intermediates = list(
+            getattr(j, "_xoverrr_intermediates", ())
+        )
+        return out
+
+    pairs_p = _stage("pairs", output_dir, resume, _pairs, log, walls=walls)
     pairs = spark.read.parquet(pairs_p)
 
     clus_p = _stage(
         "clusters", output_dir, resume,
         lambda: D.cluster_near_dups(pairs.select("doc_a", "doc_b")),
-        log,
+        log, walls=walls,
     )
     clusters = spark.read.parquet(clus_p)
 
@@ -114,7 +127,7 @@ def run_dedup(
         )
         return D.cluster_survivors(clusters, scores)
 
-    surv_p = _stage("survivors", output_dir, resume, _survivors, log)
+    surv_p = _stage("survivors", output_dir, resume, _survivors, log, walls=walls)
 
     def _kept():
         # the PRODUCT: full rows of the deduped corpus — unclustered docs
@@ -127,7 +140,7 @@ def run_dedup(
         )
         return docs.join(dropped, id_col, "left_anti")
 
-    _stage("kept", output_dir, resume, _kept, log)
+    _stage("kept", output_dir, resume, _kept, log, walls=walls)
 
     # summary: clustered docs collapse to one survivor each; docs never
     # paired (the vast majority) are implicitly their own survivor
@@ -145,6 +158,7 @@ def run_dedup(
         "dup_pct": round((n_clustered - n_clusters) * 100.0 / n_docs, 3) if n_docs else 0.0,
         "jaccard_threshold": jaccard_threshold,
         "max_bucket_size": max_bucket_size,
+        "stage_walls_s": walls,
         # The bucket_stats stage always audits against SOME cap so a
         # cap-disabled run still reports how big its buckets got — but
         # when the cap is off, those are advisory counts vs the default
