@@ -219,3 +219,33 @@ def test_id_gaps_matches_naive_on_random_sets(spark):
         if b - a > 1
     ]
     assert got == naive
+
+
+def test_candidate_jaccard_fresh_build_is_restricted_and_shared(spark, tmp_path):
+    # The staged job's verify stage (no prebuilt shingle table): the
+    # corpus scan must be candidate-restricted BEFORE the shingle explode
+    # (broadcast semi-join against the candidate id set), and the
+    # shingle-set frame must be persisted — it feeds BOTH sides of the
+    # pair join, and Spark never reuses a self-join exchange (unpersisted,
+    # the whole scan+collect_set ran twice: 93s -> 19s at 1M docs).
+    from xoverrr_spark.operators.dedup import candidate_jaccard, release_intermediates
+
+    docs_p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4} w{i+5}") for i in range(100)],
+        "doc_id bigint, text string",
+    ).write.parquet(docs_p)
+    docs = spark.read.parquet(docs_p)
+    cands = spark.createDataFrame(
+        [(0, 1), (2, 3)], "doc_a bigint, doc_b bigint")
+    j = candidate_jaccard(docs, "doc_id", "text", cands)
+    try:
+        j.collect()
+        plan = _plan(j).split("== Initial Plan ==")[0]
+        # both pair-join sides read the persisted sets cache
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        # the one docs scan sits under a semi-join (restriction before
+        # shingling), so the explode never sees non-candidate docs
+        assert "LeftSemi" in plan, plan
+    finally:
+        release_intermediates(j)
