@@ -42,7 +42,15 @@ DOC_VOCAB = (
     "batch part spark line column order small sort fast value scan a hash "
     "slow group query big filter key window row table stream merge data "
     "vector agg join plan shuffle"
-).split()
+).split() + [f"term{i}" for i in range(90)]
+# The driver's sf0.1 corpus draws from ~30 words; scaling that SAME
+# distribution 10x densifies the accidental-similarity graph until the
+# near-dup relation percolates into one >1000-diameter chain (the
+# clustering operator correctly refuses to converge, and the DuckDB
+# recursive-CTE twin would blow up on the same graph). The sf1 corpus
+# widens the vocabulary so accidental 3-shingle overlap is negligible and
+# the near-dup graph is exactly the engineered pairs — the parity math is
+# data-independent, and the queries still exercise 10x the rows.
 LANGS = ["en", "en", "en", "en", "fr", "es", "zh", "de"]  # ~50% en
 
 
@@ -68,7 +76,21 @@ def gen(spark: SparkSession, sf: float, out: str) -> None:
     n_emb = int(2000 * mul)
 
     def w(df, name):
-        df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+        # the driver testdata is ONE parquet FILE per table (DuckDB views
+        # point at the bare path) — write via a temp dir, then move the
+        # single part file. Small row groups keep the file splittable for
+        # Spark despite being a single file.
+        import glob
+        import shutil
+
+        tmp = os.path.join(out, f"_tmp_{name}")
+        (df.repartition(1).write.mode("overwrite")
+         .option("parquet.block.size", 8 * 1024 * 1024)
+         .parquet(tmp))
+        [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        os.makedirs(out, exist_ok=True)
+        shutil.move(part, os.path.join(out, f"{name}.parquet"))
+        shutil.rmtree(tmp)
         print(f"wrote {name}", flush=True)
 
     regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
@@ -116,7 +138,7 @@ def gen(spark: SparkSession, sf: float, out: str) -> None:
         F.pmod(F.xxhash64("id", F.lit(11)), F.lit(n_cust)).alias("o_custkey"),
         _pick(STATUSES, F.col("id"), seed=12).alias("o_orderstatus"),
         F.round(_u(F.col("id"), seed=13) * 499000 + 1000, 2).alias("o_totalprice"),
-        F.timestampadd(
+        F.timestamp_add(
             "DAY",
             F.pmod(F.xxhash64("id", F.lit(14)), F.lit(2400)).cast("int"),
             epoch95,
@@ -148,7 +170,7 @@ def gen(spark: SparkSession, sf: float, out: str) -> None:
         (F.pmod(F.xxhash64(*k, F.lit(22)), F.lit(9)) / 100.0).alias("l_tax"),
         _pick(["A", "N", "R"], *k, seed=23).alias("l_returnflag"),
         _pick(["F", "O"], *k, seed=24).alias("l_linestatus"),
-        F.timestampadd(
+        F.timestamp_add(
             "DAY", (F.pmod(F.xxhash64(*k, F.lit(25)), F.lit(95)) + 1).cast("int"),
             F.col("o_orderdate"),
         ).alias("l_shipdate"),
@@ -158,7 +180,7 @@ def gen(spark: SparkSession, sf: float, out: str) -> None:
     ev = spark.range(n_ev)
     w(ev.select(
         F.col("id").alias("event_id"),
-        F.timestampadd(
+        F.timestamp_add(
             "SECOND",
             F.pmod(F.xxhash64("id", F.lit(26)), F.lit(30 * 86400)).cast("int"),
             epoch24,
@@ -173,7 +195,7 @@ def gen(spark: SparkSession, sf: float, out: str) -> None:
     # and ~0.3% near-dup pairs so clustering queries stay shallow in the
     # DuckDB recursive-CTE twin
     rng = np.random.default_rng(SEED)
-    lens = rng.integers(8, 100, n_doc)
+    lens = rng.integers(12, 100, n_doc)
     vocab = np.array(DOC_VOCAB)
     texts = [" ".join(vocab[rng.integers(0, len(vocab), ln)]) for ln in lens]
     n_pairs = max(1, n_doc // 300)
