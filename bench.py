@@ -231,6 +231,13 @@ def main() -> None:
 
     t_payload = time_pipeline_with_payload(CPUS)
 
+    # scale-up point: the SAME pipeline at 4x the rows on the same cores.
+    # Throughput should RISE (per-stage overhead amortizes; a falling
+    # number would mean some stage is superlinear / driver-bound). The 4M
+    # fixture is cached like the 1M one.
+    t_4m = time_pipeline(CPUS, fixture_path(4 * PIPELINE_ROWS), runs=2)
+    thr_4m = 4 * PIPELINE_ROWS / t_4m
+
     spark = _new_spark(CPUS)
     queries = run_operator_queries(spark)
     diff_sec, diff_pairs_per_sec = time_diff_1m(spark)
@@ -260,6 +267,12 @@ def main() -> None:
             "efficiency_8_to_32": round(eff_full, 3) if eff_full else None,
         },
         "scaling_efficiency": round(eff, 3),
+        "scale_up_4x": {
+            "rows": 4 * PIPELINE_ROWS,
+            "sec": round(t_4m, 3),
+            "images_per_sec": round(thr_4m, 1),
+            "throughput_ratio_vs_1x": round(thr_4m / thr_full, 3),
+        },
         # multi-JVM executor-level scaling (1 vs 4 real executors) is
         # measured by scripts/executor_scaling.py -> BENCH_EXECUTORS.md
         "executor_scaling_evidence": "BENCH_EXECUTORS.md (1->4 executors, eff 0.86-1.05 across runs)",
@@ -317,6 +330,10 @@ def main() -> None:
             f"Pipeline with the binary image payload carried end-to-end\n"
             f"(100k rows incl. bytes, annotate(): {t_payload:.2f} s = "
             f"{100000 / t_payload:,.0f} images/s at local[{CPUS}]).\n\n"
+            f"Scale-up: the same pipeline at {4 * PIPELINE_ROWS:,} rows "
+            f"(4x): {t_4m:.2f} s = {thr_4m:,.0f} images/s — "
+            f"{thr_4m / thr_full:.2f}x the 1x throughput (rising = "
+            "overhead amortizes, no stage superlinear or driver-bound).\n\n"
             "Executor-level (multi-JVM local-cluster) scaling lives in\n"
             "BENCH_EXECUTORS.md (scripts/executor_scaling.py) — measured\n"
             "1.045 efficiency from 1 to 4 real executors.\n\n"
