@@ -1047,6 +1047,64 @@ def q_q16_parts_supplier(spark, sf_dir):
     )
 
 
+def q_q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 shape: IN-subquery over a HAVING aggregate — Catalyst
+    plans a left-semi against the grouped lineitem quantities. Threshold
+    tuned to the fixture's ~4 lines x uniform(1..50) per order."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_q18")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q18")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q18")
+    return spark.sql(
+        """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+               CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+        FROM customer_q18 c
+        JOIN orders_q18 o ON c.c_custkey = o.o_custkey
+        JOIN lineitem_q18 l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem_q18
+          GROUP BY l_orderkey HAVING SUM(l_quantity) > 280
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                 o.o_totalprice
+        """
+    )
+
+
+def q_q22_global_sales(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subqueries + NOT EXISTS anti — two more
+    Catalyst rewrites (ScalarSubquery + left-anti). The above-average
+    test is expressed as bal * count > sum in DECIMAL (exact in both
+    engines; a float AVG threshold could flip boundary rows per engine).
+    The fixture has no c_phone; the customer-number digits play the
+    country-code role."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_q22")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q22")
+    return spark.sql(
+        """
+        SELECT cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM (
+          SELECT substring(c.c_name, 17, 2) AS cntrycode, c.c_acctbal
+          FROM customer_q22 c
+          WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * (
+            SELECT COUNT(*) FROM customer_q22 WHERE c_acctbal > 0.0
+          ) > (
+            SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+            FROM customer_q22 WHERE c_acctbal > 0.0
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM orders_q22 o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+          )
+        ) custsale
+        GROUP BY cntrycode
+        """
+    )
+
+
 def q_sliding_counts(spark, sf_dir):
     """Sliding event-time windows (10 min window / 5 min step) — the batch
     twin of the streaming windowed aggregation; each event lands in
@@ -1298,6 +1356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_counts": q_q12_priority_counts,
         "q13_customer_distribution": q_q13_customer_distribution,
         "q16_parts_supplier": q_q16_parts_supplier,
+        "q18_large_volume": q_q18_large_volume,
+        "q22_global_sales": q_q22_global_sales,
     }
 
 
@@ -1385,4 +1445,6 @@ def oracle_sql() -> dict[str, str]:
         "q4_order_priority": oracle.q4_order_priority(),
         "q13_customer_distribution": oracle.q13_customer_distribution(),
         "q16_parts_supplier": oracle.q16_parts_supplier(),
+        "q18_large_volume": oracle.q18_large_volume(),
+        "q22_global_sales": oracle.q22_global_sales(),
     }

@@ -495,3 +495,49 @@ def test_check_profile_drift_catches_mean_shift_at_constant_counts(spark, tmp_pa
     status2, _, stats2, _ = qc.check_profile_drift(
         "shift_src", "shift_src", tolerance_pct=10.0)
     assert status2 == "success" and stats2["drift_pct"] == 0.0
+
+
+def test_check_sequence_localizes_gaps_and_persists(spark, tmp_path):
+    """Sixth check type: key-sequence completeness. Engineered holes
+    (%97 removed + a 500-key block) flip it to FAILED and the report +
+    audit row localize the exact missing intervals a backfill needs."""
+    import json
+
+    from pyspark.sql import functions as F
+    from xoverrr_spark.checker import QualityChecker
+
+    spark.range(10000).select(F.col("id").alias("k")).filter(
+        (F.col("k") % 97 != 0) & ~F.col("k").between(4000, 4499)
+    ).createOrReplaceTempView("seq_holes")
+    spark.range(10000).select(F.col("id").alias("k")).createOrReplaceTempView(
+        "seq_full")
+    results = str(tmp_path / "results")
+    qc = QualityChecker(spark, results_table=results)
+
+    status, report, stats, top = qc.check_sequence(
+        "seq_holes", "k", tolerance_pct=1.0)
+    assert status == "failed"                      # ~6% missing >> 1%
+    assert stats["missing_total"] == 103 + 500 - 5  # %97 holes + block (5 overlap)
+    assert stats["gap_count"] > 90
+    # the big block is the top gap, localized exactly
+    assert top[0]["gap_start"] == 4000 and top[0]["gap_end"] == 4499
+    assert "gap [4000, 4499] missing 500" in report
+
+    status2, _, stats2, _ = qc.check_sequence("seq_full", "k")
+    assert status2 == "success" and stats2["missing_pct"] == 0.0
+
+    audit = spark.read.parquet(results).filter("check_type = 'sequence'")
+    assert audit.count() == 2
+    row = audit.filter("status = 'failed'").collect()[0]
+    breakdown = json.loads(row["details_issue_breakdown_json"])
+    assert ["4000-4499", 500] in breakdown
+
+    # JSON envelope + failed path
+    _, jreport, _, _ = qc.check_sequence(
+        "seq_full", "k", report_output_format="json")
+    payload = json.loads(jreport)
+    assert payload["check_type"] == "sequence" and "stats" in payload
+    status3, report3, stats3, _ = qc.check_sequence("seq_full", "no_such_col")
+    assert status3 == "failed" and stats3 is None and "error" in report3
+    assert spark.read.parquet(results).filter(
+        "check_type = 'sequence' AND status = 'failed'").count() == 2

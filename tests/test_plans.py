@@ -253,3 +253,19 @@ def test_candidate_jaccard_fresh_build_is_restricted_and_shared(spark, tmp_path)
         assert "LeftSemi" in plan, plan
     finally:
         release_intermediates(j)
+
+
+def test_id_gaps_degenerate_inputs(spark):
+    from xoverrr_spark.operators.sequence import id_gaps
+
+    assert id_gaps(spark.createDataFrame([], "k bigint"), "k").collect() == []
+    assert id_gaps(spark.createDataFrame([(5,)], "k bigint"), "k").collect() == []
+    # negative keys: shiftright is an ARITHMETIC shift (floor division),
+    # so buckets order correctly across the sign boundary
+    neg = spark.createDataFrame([(-10,), (-8,), (-2,), (3,), (2000,)], "k bigint")
+    got = sorted((r.gap_start, r.gap_end, r.missing)
+                 for r in id_gaps(neg, "k", bucket_bits=2).collect())
+    assert got == [(-9, -9, 1), (-7, -3, 5), (-1, 2, 4), (4, 1999, 1996)]
+    # null keys carry no sequence position
+    nulls = spark.createDataFrame([(None,), (1,), (4,)], "k bigint")
+    assert [(r.gap_start, r.gap_end) for r in id_gaps(nulls, "k").collect()] == [(2, 3)]

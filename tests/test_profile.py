@@ -124,3 +124,27 @@ def test_histogram_drift_one_side_empty_column(spark):
     [r] = histogram_drift(src, trg, ["x"]).collect()
     # all of src's mass unmatched -> l1 = 1, TV = 0.5
     assert abs(r["hist_l1"] - 1.0) < 1e-9 and r["trg_n"] == 0
+
+
+def test_histogram_drift_nan_inf_do_not_poison_bins(spark):
+    """One NaN/Inf in the max made the bin width NaN — every value landed
+    in the last bin on both sides and a real shift read as 0. Bounds now
+    come from finite values; non-finite mass takes an overflow bin."""
+    from xoverrr_spark.operators.profile import histogram_drift
+
+    src = spark.createDataFrame(
+        [(float("nan"),), (float("inf"),)] + [(float(i),) for i in range(100)],
+        "x double")
+    trg = spark.createDataFrame(
+        [(float(i) + 1000.0,) for i in range(100)], "x double")
+    [r] = histogram_drift(src, trg, ["x"]).collect()
+    # disjoint finite ranges + src-only non-finite mass: near-max distance
+    assert r["hist_tv"] > 0.9, r
+
+    # identical finite data, src additionally carries NaNs: the overflow
+    # bin registers the difference instead of silently matching
+    src2 = spark.createDataFrame(
+        [(float("nan"),)] * 50 + [(float(i),) for i in range(50)], "x double")
+    trg2 = spark.createDataFrame([(float(i),) for i in range(50)], "x double")
+    [r2] = histogram_drift(src2, trg2, ["x"]).collect()
+    assert abs(r2["hist_tv"] - 0.5) < 1e-9, r2

@@ -533,6 +533,144 @@ class QualityChecker:
                 if f is not None:
                     f.unpersist()
 
+    def check_sequence(
+        self,
+        source_table,
+        key_column: str,
+        check_name: str | None = None,
+        tolerance_pct: float = 0.0,
+        bucket_bits: int = 20,
+        max_examples: int = 20,
+        report_output_format: str = "text",
+    ):
+        """Sixth check type: key-sequence completeness of ONE table — the
+        "did the extract skip rows" check the reference's count comparison
+        (core.py:520) can detect but never localize. Finds every missing-id
+        interval via the partition-range ``operators.sequence.id_gaps``
+        (bucketed lead + bounds stitch — no global sort), scores
+
+            missing_pct = total missing ids / key span (max-min+1) * 100
+            final_score = 100 - missing_pct (floored at 0)
+
+        and fails when ``missing_pct > tolerance_pct``. Null keys are
+        reported (they carry no sequence position) but don't score.
+        The ``max_examples`` largest gaps ride the report and the audit
+        row's details JSON, so the operator localizes exactly WHICH id
+        ranges a backfill must re-extract.
+        """
+        run_id = uuid.uuid4().hex[:16]
+        timings = CheckRunTimings(run_started_at=CheckRunTimings.now())
+        gaps = None
+        try:
+            from .operators.sequence import id_gaps
+
+            fmt = validate_report_output_format(report_output_format)
+            src = self._resolve(source_table)
+            if key_column not in src.columns:
+                raise MetadataError(f"no such column: {key_column}")
+            k = F.col(key_column).cast("long")
+            timings.mark_query_start("source")
+            stats_row = src.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(k).alias("n_keys"),
+                F.min(k).alias("k_min"),
+                F.max(k).alias("k_max"),
+            ).collect()[0]
+            timings.mark_query_end("source")
+
+            timings.mark_dataset_check_start()
+            gaps = id_gaps(src, key_column, bucket_bits).persist()
+            agg = gaps.agg(
+                F.count(F.lit(1)).alias("gap_count"),
+                F.coalesce(F.sum("missing"), F.lit(0)).alias("missing_total"),
+            ).collect()[0]
+            top = gaps.orderBy(F.desc("missing"), "gap_start").limit(
+                max_examples
+            ).collect()
+            timings.mark_dataset_check_end()
+
+            n_nulls = stats_row["n_rows"] - stats_row["n_keys"]
+            span = (
+                stats_row["k_max"] - stats_row["k_min"] + 1
+                if stats_row["n_keys"] else 0
+            )
+            missing_pct = (
+                agg["missing_total"] * 100.0 / span if span else 0.0
+            )
+            status = (
+                D.CHECK_SUCCESS if missing_pct <= tolerance_pct else D.CHECK_FAILED
+            )
+            name = check_name or "check_sequence"
+            lines = [
+                f"sequence check: {name} [{run_id}] -> {status}",
+                f"keys: {stats_row['n_keys']} (nulls: {n_nulls})  "
+                f"span: [{stats_row['k_min']}, {stats_row['k_max']}]  "
+                f"gaps: {agg['gap_count']}  missing: {agg['missing_total']}  "
+                f"missing_pct: {missing_pct:.4f}  tolerance: {tolerance_pct}",
+            ]
+            for r in top:
+                lines.append(
+                    f"  gap [{r['gap_start']}, {r['gap_end']}] "
+                    f"missing {r['missing']}"
+                )
+            text_report = "\n".join(lines)
+            stats = {
+                "n_keys": int(stats_row["n_keys"]),
+                "null_keys": int(n_nulls),
+                "gap_count": int(agg["gap_count"]),
+                "missing_total": int(agg["missing_total"]),
+                "missing_pct": round(missing_pct, 4),
+                "final_score": round(max(0.0, 100.0 - missing_pct), 4),
+            }
+            audit_details = D.CheckDetails(
+                issue_breakdown=[
+                    (f"{r['gap_start']}-{r['gap_end']}", int(r["missing"]))
+                    for r in top
+                ],
+                issue_examples=[],
+                dup_source_keys_examples=(),
+                dup_target_keys_examples=(),
+                source_only_keys_examples=(),
+                target_only_keys_examples=(),
+                evaluated_columns=[key_column],
+            )
+            report = text_report
+            if fmt == "json":
+                report = check_result_json(
+                    run_id=run_id, check_type="sequence", status=status,
+                    check_name=name, report=text_report,
+                    source_table=source_table if isinstance(source_table, str) else None,
+                    timezone=self.timezone, stats=stats,
+                    details=[r.asDict() for r in top],
+                )
+            timings.finish_run()
+            self._persist(
+                run_id=run_id, check_type="sequence", status=status,
+                check_name=name, source_table=source_table,
+                report=text_report, timings=timings, details=audit_details,
+                stats_overrides={"final_score": stats["final_score"]},
+            )
+            self._track(status, source_table)
+            _LOG.info(
+                "check_sequence run_id=%s status=%s missing_pct=%.4f",
+                run_id, status, missing_pct,
+            )
+            return status, report, stats, top
+        except Exception as exc:
+            report = f"check failed with error: {exc}"
+            timings.finish_run()
+            self._persist(
+                run_id=run_id, check_type="sequence", status=D.CHECK_FAILED,
+                check_name=check_name or "check_sequence",
+                source_table=source_table,
+                report=report, timings=timings,
+            )
+            self._track(D.CHECK_FAILED, source_table)
+            return D.CHECK_FAILED, report, None, None
+        finally:
+            if gaps is not None:
+                gaps.unpersist()
+
     def check_custom_queries(
         self,
         source_query: str,

@@ -219,17 +219,34 @@ def histogram_drift(
     return hist_l1 = 0. A column with values on exactly one side scores
     l1 = 1 (all of one side's mass unmatched; the null-rate counter
     flags the same shift at 100%).
+
+    Non-finite handling: bin edges come from FINITE values only (one NaN
+    in the max would make the bin width NaN, silently binning every value
+    identically on both sides), and NaN/±Inf values take a dedicated
+    overflow bin — so a side growing NaNs registers as distance. The one
+    blind spot: a column with NO finite values on either side is
+    degenerate (0) even if its NaN counts differ.
     """
     if n_bins <= 0:
         raise ValueError("need n_bins > 0")
     if not columns:
         raise ValueError("no numeric columns to histogram")
 
+    def _finite(c):
+        # NaN/Inf poison the bin width (w = NaN => every value lands in
+        # the last bin on BOTH sides and the distance silently reads 0) —
+        # bounds come from finite values only; non-finite values get a
+        # dedicated overflow bin below so a NaN-rate shift still registers
+        x = F.col(c).cast("double")
+        return F.when(
+            ~F.isnan(x) & (x > F.lit(float("-inf"))) & (x < F.lit(float("inf"))), x
+        )
+
     def _bounds(df):
         aggs = []
         for c in columns:
-            aggs.append(F.min(F.col(c).cast("double")).alias(f"{c}__lo"))
-            aggs.append(F.max(F.col(c).cast("double")).alias(f"{c}__hi"))
+            aggs.append(F.min(_finite(c)).alias(f"{c}__lo"))
+            aggs.append(F.max(_finite(c)).alias(f"{c}__hi"))
         return df.agg(*aggs).collect()[0]
 
     bs, bt = _bounds(src), _bounds(trg)
@@ -249,12 +266,17 @@ def histogram_drift(
     def _binned(df, side):
         structs = []
         for c, lo, w in specs:
-            raw = F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(w))
+            fx = _finite(c)
+            raw = F.floor((fx - F.lit(lo)) / F.lit(w))
             # greatest/least SKIP nulls (a null value would land in bin 0,
-            # not stay null) — gate on the value explicitly
+            # not stay null) — gate on the value explicitly. Non-finite
+            # values (NaN/±Inf) take the overflow bin n_bins, so a side
+            # growing NaNs shows up as distance instead of vanishing.
             b = F.when(
-                F.col(c).isNotNull(),
+                fx.isNotNull(),
                 F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)),
+            ).otherwise(
+                F.when(F.col(c).isNotNull(), F.lit(n_bins))
             )
             structs.append(
                 F.struct(F.lit(c).alias("column_name"), b.alias("bin"))

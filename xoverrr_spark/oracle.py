@@ -2048,3 +2048,45 @@ WHERE p.p_brand <> 'Brand#2'
   )
 GROUP BY p.p_brand, p.p_type, p.p_size
 """
+
+
+def q18_large_volume() -> str:
+    """TPC-H Q18 shape twin: IN over a HAVING aggregate."""
+    return """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+       CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 280
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+
+
+def q22_global_sales() -> str:
+    """TPC-H Q22 shape twin: scalar AVG subquery + NOT EXISTS. The DECIMAL
+    cast inside SUM pins cross-engine float addition order."""
+    return """
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT substring(c.c_name, 17, 2) AS cntrycode, c.c_acctbal
+  FROM customer c
+  WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * (
+    SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0
+  ) > (
+    SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+    FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderpriority = '1-URGENT'
+  )
+) custsale
+GROUP BY cntrycode
+"""
