@@ -112,3 +112,21 @@ def test_interval_join_left_outer_emits_unmatched(spark):
     got = {(x.k, x.lv, x.rv)
            for x in interval_join(l, r, "k", join_type="left_outer").collect()}
     assert got == {(1, "hit", "y"), (2, "miss", None)}
+
+
+def test_interval_join_null_timestamps_never_match(spark):
+    """A null event time has no interval position: inner drops the row,
+    left_outer keeps the left row unmatched — never a phantom match."""
+    from datetime import datetime as dt
+
+    l = spark.createDataFrame(
+        [(1, "a", None), (1, "b", dt(2024, 1, 1))],
+        "k bigint, lv string, ts timestamp")
+    r = spark.createDataFrame(
+        [(1, "x", dt(2024, 1, 1, 0, 1)), (1, "y", None)],
+        "k bigint, rv string, ts timestamp")
+    assert [(x.lv, x.rv) for x in interval_join(l, r, "k").collect()] == [("b", "x")]
+    assert sorted(
+        (x.lv, x.rv)
+        for x in interval_join(l, r, "k", join_type="left_outer").collect()
+    ) == [("a", None), ("b", "x")]
