@@ -1261,31 +1261,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records the FIRST 50
-    # entries — every scale-critical operator family sits in that window
-    # (diff/counts/sniff engines, the full dedup+curation chain, embedding
-    # similarity, CDC merge, as-of/range joins, id-gap completeness).
-    # Simple variants and extra TPC-H shapes ride the tail; the full set
-    # is still swept locally by scripts/check_oracle.py / verify_all.sh.
+    # entries. Round 5 ROTATES the window (r4 verdict #4): ten tail rows
+    # the driver has never recorded (TPC-H subquery shapes, skew/outlier/
+    # quantile diagnostics, grouping sets, the multimodal cluster fusion)
+    # are promoted into the first 50; ten simple rows the driver verified
+    # green in CORRECTNESS_r04.json (crossfill/sniff variants, the
+    # single-function pipeline stages subsumed by quality_filter_documents)
+    # ride the tail this round. The full set is still swept locally by
+    # scripts/check_oracle.py / verify_all.sh at sf0.01 + sf0.1.
     return {
-        # --- reference engines: diff / counts / sniff / normalize -------
+        # --- reference engines: diff / counts / profile ------------------
         "diff_classify_orders": q_diff_classify,
         "diff_stats_orders": q_diff_stats,
         "dup_keys_lineitem": q_dup_keys,
         "daily_counts_events": q_daily_counts,
-        "counts_crossfill_events": q_counts_crossfill,
-        "count_mismatch_days": q_count_mismatch,
-        "sniff_stats_orders": q_sniff_stats,
-        "sniff_histogram_orders": q_sniff_histogram,
-        "normalize_lineitem": q_normalize,
         "profile_orders": q_profile_orders,
         "profile_drift_orders": q_profile_drift,
-        # --- quality-filter pipeline ------------------------------------
+        # --- quality-filter pipeline (full composition) ------------------
         "quality_filter_documents": q_quality_filter_docs,
-        "drop_reason_counts_documents": q_drop_reason_counts,
-        "langid_documents": q_langid,
-        "token_stats_documents": q_token_stats,
-        "fingerprint_documents": q_fingerprint,
-        "quality_score_documents": q_quality_score,
+        # --- promoted: never driver-recorded before round 5 --------------
+        "q13_customer_distribution": q_q13_customer_distribution,
+        "q16_parts_supplier": q_q16_parts_supplier,
+        "q18_large_volume": q_q18_large_volume,
+        "q22_global_sales": q_q22_global_sales,
+        "key_skew_lineitem": q_key_skew,
+        "quantiles_events": q_quantiles_events,
+        "value_outliers_events": q_value_outliers,
+        "grouping_sets_events": q_grouping_sets,
+        "histogram_orders": q_histogram_orders,
+        "multimodal_near_dup_clusters": q_multimodal_near_dup_clusters,
         # --- dedup chain ------------------------------------------------
         "exact_dedup_documents": q_exact_dedup,
         "exact_dedup_survivors_documents": q_exact_dedup_survivors,
@@ -1324,6 +1328,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_changes_orders": q_apply_changes,
         "id_gaps_orders": q_id_gaps,
         # ================= driver gate cut-off (50) =====================
+        # demoted this round (driver-verified green in CORRECTNESS_r04):
+        "counts_crossfill_events": q_counts_crossfill,
+        "count_mismatch_days": q_count_mismatch,
+        "sniff_stats_orders": q_sniff_stats,
+        "sniff_histogram_orders": q_sniff_histogram,
+        "normalize_lineitem": q_normalize,
+        "drop_reason_counts_documents": q_drop_reason_counts,
+        "langid_documents": q_langid,
+        "token_stats_documents": q_token_stats,
+        "fingerprint_documents": q_fingerprint,
+        "quality_score_documents": q_quality_score,
+        # never-promoted tail (locally swept every round):
         "session_stats_events": q_session_stats,
         "count_anomalies_events": q_count_anomalies,
         "json_extract_events": q_json_extract,
@@ -1336,28 +1352,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": q_stratified_sample,
         "vocab_top_terms": q_vocab_top_terms,
         "drop_reason_examples_documents": q_drop_reason_examples,
-        "quantiles_events": q_quantiles_events,
         "pivot_events_by_day": q_pivot_events_by_day,
         "candidate_edit_distance_documents": q_candidate_edit_distance,
-        "value_outliers_events": q_value_outliers,
-        "multimodal_near_dup_clusters": q_multimodal_near_dup_clusters,
         "sliding_counts_events": q_sliding_counts,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
-        "histogram_orders": q_histogram_orders,
         "pii_counts_documents": q_pii_counts,
-        "key_skew_lineitem": q_key_skew,
-        "grouping_sets_events": q_grouping_sets,
         "unpivot_events_metrics": q_unpivot,
         "cumulative_users_events": q_cumulative_users,
         "q4_order_priority": q_q4_order_priority,
         "q7_volume_shipping": q_q7_volume_shipping,
         "q8_market_share": q_q8_market_share,
         "q12_priority_counts": q_q12_priority_counts,
-        "q13_customer_distribution": q_q13_customer_distribution,
-        "q16_parts_supplier": q_q16_parts_supplier,
-        "q18_large_volume": q_q18_large_volume,
-        "q22_global_sales": q_q22_global_sales,
     }
 
 

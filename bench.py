@@ -36,10 +36,26 @@ def _sf_label() -> float:
         return -1.0
 
 
+def _fixture_digest(root: str | None = None) -> str:
+    """Content key for cached fixtures: a fixture is a function of the
+    generator AND the rule battery it's engineered against. Keying only by
+    (n, seed) let a rulespec/generator change silently bench STALE inputs
+    (CLAUDE.md's cache-invalidation trap; r4 verdict #5) — folding a source
+    digest into the filename makes any such change regenerate the fixture."""
+    import hashlib
+
+    root = root or os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for rel in ("xoverrr_spark/fixtures/images.py", "xoverrr_spark/functions/rulespec.py"):
+        with open(os.path.join(root, rel), "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:10]
+
+
 def fixture_path(n: int) -> str:
     """Deterministic caption fixture parquet, cached (no image bytes — the
     filter never decodes; bytes-column plumbing is benched in tests)."""
-    path = os.path.join(CACHE, f"images_n{n}_seed42.parquet")
+    path = os.path.join(CACHE, f"images_n{n}_seed42_{_fixture_digest()}.parquet")
     if not os.path.exists(path):
         os.makedirs(CACHE, exist_ok=True)
         from xoverrr_spark.fixtures.images import generate_images_pdf
@@ -147,7 +163,7 @@ def time_pipeline_with_payload(cores: int, rows: int = 100000) -> float:
     from xoverrr_spark.fixtures.images import generate_images_pdf, IMAGES_SCHEMA
     from xoverrr_spark.pipeline.quality_filter import annotate
 
-    path = os.path.join(CACHE, f"images_bytes_n{rows}_seed42.parquet")
+    path = os.path.join(CACHE, f"images_bytes_n{rows}_seed42_{_fixture_digest()}.parquet")
     if not os.path.exists(path):
         os.makedirs(CACHE, exist_ok=True)
         pdf = generate_images_pdf(rows, seed=42, with_bytes=True)
@@ -164,28 +180,30 @@ def time_pipeline_with_payload(cores: int, rows: int = 100000) -> float:
     return dt
 
 
-def run_operator_queries(spark) -> dict[str, float]:
+OPERATOR_QUERY_NAMES = [
+    "diff_classify_orders", "diff_stats_orders", "dup_keys_lineitem",
+    "daily_counts_events", "q1_pricing_summary", "revenue_top10",
+    "top3_suppliers_per_nation", "normalize_lineitem",
+    "langid_documents", "quality_filter_documents",
+    "minhash_signatures_documents", "lsh_candidates_documents",
+    "minhash_near_dups_documents", "simhash_documents",
+    "ann_topk_embeddings", "curate_documents", "session_stats_events",
+    "asof_events", "range_count_events", "repetition_stats_documents",
+    "curate_documents_v2",
+    "mixture_sample_documents", "quality_top_fraction_documents",
+]
+
+
+def run_operator_queries(spark, sf_dir: str | None = None) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
-    names = [
-        "diff_classify_orders", "diff_stats_orders", "dup_keys_lineitem",
-        "daily_counts_events", "q1_pricing_summary", "revenue_top10",
-        "top3_suppliers_per_nation", "normalize_lineitem",
-        "langid_documents", "quality_filter_documents",
-        "minhash_signatures_documents", "lsh_candidates_documents",
-        "minhash_near_dups_documents", "simhash_documents",
-        "ann_topk_embeddings", "curate_documents", "session_stats_events",
-        "asof_events", "range_count_events", "repetition_stats_documents",
-        "curate_documents_v2",
-        "mixture_sample_documents", "quality_top_fraction_documents",
-    ]
     from xoverrr_spark.operators.dedup import release_intermediates
 
     qs = entrymod.queries()
     out = {}
-    for name in names:
+    for name in OPERATOR_QUERY_NAMES:
         t0 = time.time()
-        df = qs[name](spark, SF_DIR)
+        df = qs[name](spark, sf_dir or SF_DIR)
         _noop_write(df)
         out[name] = round(time.time() - t0, 3)
         # free any persisted dedup/LSH intermediates so earlier queries'
@@ -285,14 +303,72 @@ def main() -> None:
     # staged dedup-job scale evidence (recorded by scripts/
     # dedup_scale_stress.py on synthetic corpora up to 10M docs — far
     # beyond sf0.1's 5k documents; each record carries its own
-    # recorded_at + loadavg). Folded in verbatim so the per-round JSON
-    # carries the per-stage walls; DEDUP_SCALE.md has the table.
+    # recorded_at + loadavg). Referenced COMPACTLY: folding the full
+    # recording into this line overflowed the driver's tail capture in
+    # r4 (BENCH_r04.json parsed: null) — the headline JSON must stay
+    # short and be the LAST stdout line. Full data: the file + DEDUP_SCALE.md.
     scale_json = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "dedup_scale.json"
     )
     if os.path.exists(scale_json):
-        with open(scale_json) as fh:
-            result["dedup_job_scale_recorded"] = json.load(fh)
+        import hashlib
+
+        with open(scale_json, "rb") as fh:
+            raw = fh.read()
+        try:
+            recs = json.loads(raw)
+        except ValueError:
+            recs = []
+        summary = {
+            "file": ".bench_cache/dedup_scale.json",
+            "sha256_12": hashlib.sha256(raw).hexdigest()[:12],
+            "n_runs": len(recs),
+        }
+        # headline scalars only: biggest corpus at its highest core count,
+        # plus any skew-stress run (over_cap_docs > 0)
+        if recs:
+            best = max(recs, key=lambda r: (r["n_docs"], r["cores"]))
+            summary["max_docs"] = best["n_docs"]
+            summary["cores"] = best["cores"]
+            summary["wall_s"] = best["total_wall_s"]
+            summary["docs_per_sec"] = best["job_docs_per_sec"]
+            skew = [r for r in recs if r.get("over_cap_docs", 0) > 0]
+            if skew:
+                s = max(skew, key=lambda r: r["n_docs"])
+                summary["skew_docs"] = s["n_docs"]
+                summary["skew_wall_s"] = s["total_wall_s"]
+                summary["skew_over_cap_docs"] = s["over_cap_docs"]
+        result["dedup_job_scale"] = summary
+
+    # streaming throughput evidence (scripts/streaming_throughput.py):
+    # headline rows/s only — full table in STREAM_BENCH.md
+    stream_json = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "stream_bench.json"
+    )
+    stream_recs = []
+    if os.path.exists(stream_json):
+        try:
+            with open(stream_json) as fh:
+                stream_recs = json.load(fh)
+        except ValueError:
+            stream_recs = []
+        if stream_recs:
+            result["streaming"] = {
+                r["op"]: r["rows_per_sec"] for r in stream_recs
+            }
+
+    # sf1 per-operator sweep (scripts/sf1_timing_sweep.py): one scalar —
+    # the worst 10x wall ratio across the query list (full table in
+    # SF1_BENCH.md; ~10 = linear, >10 = superlinear stage)
+    sf1_json = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "sf1_sweep.json"
+    )
+    if os.path.exists(sf1_json):
+        try:
+            with open(sf1_json) as fh:
+                result["sf1_max_10x_ratio"] = json.load(fh).get("max_ratio")
+        except ValueError:
+            pass
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as fh:
         fh.write(
@@ -338,15 +414,38 @@ def main() -> None:
             "BENCH_EXECUTORS.md (scripts/executor_scaling.py) — measured\n"
             "1.045 efficiency from 1 to 4 real executors.\n\n"
             "Staged dedup-job scale evidence (per-stage walls at up to 10M\n"
-            "docs, two parallelism levels) lives in DEDUP_SCALE.md\n"
-            "(scripts/dedup_scale_stress.py) and rides the bench JSON as\n"
-            "dedup_job_scale_recorded.\n\n"
-            "Per-operator seconds at "
+            "docs, two parallelism levels, plus the boilerplate-flood skew\n"
+            "stress) lives in DEDUP_SCALE.md (scripts/dedup_scale_stress.py);\n"
+            "the bench JSON carries its headline scalars as dedup_job_scale\n"
+            "and references the full recording by path + sha256.\n\n"
+            + (
+                "Streaming throughput (scripts/streaming_throughput.py,\n"
+                "full table in STREAM_BENCH.md): "
+                + "; ".join(
+                    f"{r['op']} {r['rows_per_sec']:,.0f} rows/s "
+                    f"(state peak {r['state_rows_peak']:,} rows / "
+                    f"{r['state_mem_peak_mb']} MB over {r['micro_batches']} batches)"
+                    for r in stream_recs
+                )
+                + ".\n\n"
+                if stream_recs else ""
+            )
+            + "Per-operator seconds at "
             f"{SF_DIR}:\n\n| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in queries.items())
         )
 
-    print(json.dumps(result))
+    # The driver captures only a ~2000-char stdout tail; the headline JSON
+    # must be the final line AND fit that window (r4's line overflowed it →
+    # parsed: null). Strip optional blocks in priority order until it fits.
+    line = json.dumps(result)
+    for drop in ("streaming", "dedup_job_scale", "scale_up_4x",
+                 "executor_scaling_evidence", "scaling"):
+        if len(line) <= 1900:
+            break
+        result.pop(drop, None)
+        line = json.dumps(result)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -33,12 +33,26 @@ def corpus_df(
     seed: int = 42,
     vocab: int = 1000,
     doc_len: int = 40,
+    boilerplate_pct: int = 0,
 ) -> DataFrame:
+    """``boilerplate_pct`` > 0 floods the LAST pct% of ids with one shared
+    template plus a per-doc unique tail token — every flood doc is a
+    genuine near-dup of every other (J ~= 38/41 shingles), so they all
+    land in the SAME LSH buckets in every band: the degenerate
+    boilerplate-bucket skew a real web corpus throws at the job. Without
+    the bucket cap this is a quadratic C(n*pct/100, 2) pair explosion;
+    the stress run proves the cap (operators/dedup.py band-bucket cap)
+    bounds it with ``over_cap_docs`` audited, not silently."""
     base = (
         F.when(F.col("id") % 10 == 1, F.col("id") - 1)
         .when(F.col("id") % 10 == 2, F.col("id") - 2)
         .otherwise(F.col("id"))
     )
+    n_flood = n * boilerplate_pct // 100
+    flood = F.col("id") >= F.lit(n - n_flood)
+    if boilerplate_pct:
+        # one shared template: fixed pseudo-base -1 (outside the id space)
+        base = F.when(flood, F.lit(-1)).otherwise(base)
     df = spark.range(n).withColumn("_base", base)
     words = F.transform(
         F.sequence(F.lit(0), F.lit(doc_len - 1)),
@@ -52,6 +66,9 @@ def corpus_df(
     text = F.concat_ws(" ", words)
     # near-dups append one id-unique token: ~38/40 shared 3-shingles
     text = F.when(
+        flood if boilerplate_pct else F.lit(False),
+        F.concat(text, F.lit(" bp"), F.col("id").cast("string")),
+    ).when(
         F.col("id") % 10 == 2,
         F.concat(text, F.lit(" nd"), F.col("id").cast("string")),
     ).otherwise(text)
@@ -69,6 +86,9 @@ def main(argv=None) -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--files", type=int, default=None,
                     help="output parquet files (default: ~40k rows per file)")
+    ap.add_argument("--boilerplate-pct", type=int, default=0,
+                    help="flood the last pct%% of ids with one near-identical "
+                         "template (degenerate LSH-bucket skew stress)")
     args = ap.parse_args(argv)
 
     import os
@@ -79,9 +99,9 @@ def main(argv=None) -> None:
 
     spark = get_spark("gen_corpus")
     files = args.files or max(1, args.n // 40000)
-    corpus_df(spark, args.n, args.seed).repartition(files).write.mode(
-        "overwrite"
-    ).parquet(args.output)
+    corpus_df(
+        spark, args.n, args.seed, boilerplate_pct=args.boilerplate_pct
+    ).repartition(files).write.mode("overwrite").parquet(args.output)
     print(f"wrote {args.n} docs to {args.output} in {files} files")
 
 

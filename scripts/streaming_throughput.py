@@ -1,0 +1,241 @@
+"""Streaming throughput evidence (r4 verdict #6).
+
+The streaming surface is correctness-pinned by tests but had no recorded
+rates. This drives the two headline streaming shapes over a file-source
+drain of 1M-row fixtures and records rows/s plus state-store peaks:
+
+- ``stream_quality_filter``: the full rule/scrub/langid/perplexity plan
+  on a streaming DataFrame (stateless per row — throughput should track
+  the batch pipeline minus sink overhead).
+- ``interval_join``: watermarked stream-stream join (stateful — the
+  state-store row/memory peak from the progress feed is the evidence
+  that state stays O(horizon), not O(stream)).
+
+The input is staged as many parquet files and drained with
+``maxFilesPerTrigger`` so the run covers several micro-batches (state
+metrics are per-batch; a single giant batch would hide the steady-state
+picture). Results go to ``.bench_cache/stream_bench.json`` + a table in
+``STREAM_BENCH.md``; bench.py folds the headline scalars into its JSON
+line when the recording exists. The reference has no streaming engine —
+this is evidence, not parity (no target gate).
+
+Usage: python scripts/streaming_throughput.py [--rows 1000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, ".bench_cache")
+RESULTS = os.path.join(CACHE, "stream_bench.json")
+
+
+def _state_peaks(query) -> dict:
+    """Max state rows / memory across the drain's micro-batches."""
+    rows = mem = batches = 0
+    for p in query.recentProgress:
+        batches += 1
+        for op in p.get("stateOperators", []):
+            rows = max(rows, op.get("numRowsTotal", 0))
+            mem = max(mem, op.get("memoryUsedBytes", 0))
+    return {
+        "micro_batches": batches,
+        "state_rows_peak": rows,
+        "state_mem_peak_mb": round(mem / 1e6, 1),
+    }
+
+
+def bench_stream_filter(spark, rows: int, work: str) -> dict:
+    from bench import fixture_path
+    from xoverrr_spark.streaming.stream_filter import stream_quality_filter
+
+    fixture = fixture_path(rows)
+    in_dir = os.path.join(work, "filter_in")
+    os.makedirs(in_dir)
+    # stage as N hard links of row-group slices? parquet can't be split by
+    # link — instead rewrite once into ~32 files so the drain covers
+    # multiple micro-batches and every core gets tasks per batch
+    spark.read.parquet(fixture).repartition(32).write.parquet(
+        os.path.join(in_dir, "data")
+    )
+    t0 = time.time()
+    q = stream_quality_filter(
+        spark,
+        os.path.join(in_dir, "data"),
+        os.path.join(work, "filter_out"),
+        os.path.join(work, "filter_ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    out_rows = spark.read.parquet(os.path.join(work, "filter_out")).count()
+    assert out_rows == rows, (out_rows, rows)
+    return {
+        "op": "stream_quality_filter",
+        "rows": rows,
+        "wall_s": round(wall, 2),
+        "rows_per_sec": round(rows / wall, 1),
+        **_state_peaks(q),
+    }
+
+
+def bench_interval_join(spark, rows: int, work: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from xoverrr_spark.streaming.stream_join import interval_join
+
+    n_keys = 100_000
+    horizon_s = 3600  # events spread over one hour of event time
+    left_dir = os.path.join(work, "ij_left")
+    right_dir = os.path.join(work, "ij_right")
+    epoch_base = 1704067200  # 2024-01-01 00:00:00 UTC
+    waves = 8
+    for path, jitter in ((left_dir, 0), (right_dir, 1)):
+        side = spark.range(rows).select(
+            (F.col("id") % n_keys).alias("k"),
+            F.col("id").alias(f"v{jitter}"),
+            # event time rises with id so watermarks ADVANCE through the
+            # drain and old state is evicted — the realistic shape.
+            # Each right row lands exactly 30 s after its left twin
+            # (same id), inside the (0, 1 min] join interval; non-twin
+            # same-key rows are >= 360 s apart -> exactly one match per
+            # left row.
+            F.timestamp_seconds(
+                F.lit(epoch_base)
+                + F.col("id") * horizon_s / rows
+                + F.lit(jitter * 30)
+            ).alias("ts"),
+            F.col("id"),
+        )
+        # SEQUENTIAL time-ordered waves: the file stream source processes
+        # files in modification-time order, so appending wave-by-wave
+        # makes event time rise monotonically through the drain — the
+        # watermark advances each batch and state evicts mid-stream (one
+        # shuffled write would randomize time across batches: the first
+        # batch would push the watermark near the horizon end and every
+        # later batch would be dropped as late)
+        for w in range(waves):
+            lo, hi = w * rows // waves, (w + 1) * rows // waves
+            (
+                side.filter((F.col("id") >= lo) & (F.col("id") < hi))
+                .drop("id").coalesce(4)
+                .write.mode("append").parquet(path)
+            )
+            time.sleep(0.05)  # distinct mtimes keep wave order stable
+    schema_l = "k bigint, v0 bigint, ts timestamp"
+    schema_r = "k bigint, v1 bigint, ts timestamp"
+    # ~4 files per trigger ~= one wave per micro-batch
+    left = (
+        spark.readStream.schema(schema_l)
+        .option("maxFilesPerTrigger", 4).parquet(left_dir)
+    )
+    right = (
+        spark.readStream.schema(schema_r)
+        .option("maxFilesPerTrigger", 4).parquet(right_dir)
+    )
+    joined = interval_join(
+        left, right, "k",
+        watermark_delay="2 minutes", interval="1 minute",
+    )
+    t0 = time.time()
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", os.path.join(work, "ij_out"))
+        .option("checkpointLocation", os.path.join(work, "ij_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    out_rows = spark.read.parquet(os.path.join(work, "ij_out")).count()
+    # every left row has exactly one twin 30 s later; the wave staging
+    # keeps twins within watermark range, so a broken drain (shuffled
+    # file order, late drops) would show here as a big deficit
+    assert out_rows >= int(0.97 * rows), (out_rows, rows)
+    return {
+        "op": "interval_join",
+        "rows": 2 * rows,  # both sides are ingested
+        "joined_rows": out_rows,
+        "wall_s": round(wall, 2),
+        "rows_per_sec": round(2 * rows / wall, 1),
+        **_state_peaks(q),
+    }
+
+
+def write_md(records: list[dict]) -> None:
+    lines = [
+        "# Streaming throughput (local mode, availableNow drains)",
+        "",
+        "First recorded rates for the streaming surface (r4 verdict #6).",
+        "The reference has no streaming engine — evidence, not parity.",
+        "Inputs staged as 32 parquet files; `maxFilesPerTrigger` forces",
+        "multi-batch drains so watermark eviction and state peaks reflect",
+        "steady state, not one giant batch. State peaks are the max of",
+        "`stateOperators.numRowsTotal` / `memoryUsedBytes` across batches —",
+        "for the interval join this is the O(horizon) bound in action:",
+        "state holds only rows inside the watermark+interval window, not",
+        "the whole stream.",
+        "",
+        "| op | rows in | rows/s | wall s | batches | state rows peak | state MB peak | loadavg |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in records:
+        lines.append(
+            f"| {r['op']} | {r['rows']:,} | {r['rows_per_sec']:,.0f} "
+            f"| {r['wall_s']} | {r['micro_batches']} "
+            f"| {r['state_rows_peak']:,} | {r['state_mem_peak_mb']} "
+            f"| {r.get('external_loadavg_at_start', '-')} |"
+        )
+    lines += [
+        "",
+        f"Recorded: {records[-1]['recorded_at']} — regenerate with "
+        "`python scripts/streaming_throughput.py`.",
+        "",
+    ]
+    with open(os.path.join(REPO, "STREAM_BENCH.md"), "w") as fh:
+        fh.write("\n".join(lines))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args(argv)
+
+    from xoverrr_spark.session import get_spark
+
+    os.makedirs(CACHE, exist_ok=True)
+    work = os.path.join(CACHE, "stream_bench_work")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    load = os.getloadavg()[0]
+    spark = get_spark("stream_bench", cores=args.cores)
+    try:
+        records = []
+        for fn in (bench_stream_filter, bench_interval_join):
+            rec = fn(spark, args.rows, work)
+            rec["cores"] = args.cores
+            rec["external_loadavg_at_start"] = round(load, 2)
+            rec["recorded_at"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
+    with open(RESULTS, "w") as fh:
+        json.dump(records, fh, indent=1)
+    write_md(records)
+
+
+if __name__ == "__main__":
+    main()

@@ -149,8 +149,9 @@ def test_audit_record_full_shape(checker, spark, views):
     runs = spark.read.parquet(checker.results_table)
     assert set(runs.columns) == set(AUDIT_COLUMNS)
     # 19 base (run_id + 8 timings + 10 metadata) + 8 stats ints
-    # + 9 stats floats + 7 details_json = 43 columns
-    assert len(AUDIT_COLUMNS) == 43
+    # + 9 stats floats + 9 details_json = 45 columns (r5 adds the
+    # skipped_source/target_columns details the reference also persists)
+    assert len(AUDIT_COLUMNS) == 45
     row = runs.filter("check_name = 'audit_shape_probe'") \
               .orderBy("run_started_at").collect()[-1].asDict()
     # every stats_* numeric persisted, floats rounded to 5dp (persistence.py:35-38)
@@ -541,3 +542,50 @@ def test_check_sequence_localizes_gaps_and_persists(spark, tmp_path):
     assert status3 == "failed" and stats3 is None and "error" in report3
     assert spark.read.parquet(results).filter(
         "check_type = 'sequence' AND status = 'failed'").count() == 2
+
+
+def test_check_sequence_expected_bounds_catch_truncation_and_empty(spark, tmp_path):
+    """r4 ADVICE: observed-span scoring is blind to head/tail truncation
+    and vacuously passes an empty extract. expected_min/expected_max turn
+    boundary truncation into explicit gaps; zero non-null keys FAILS."""
+    from pyspark.sql import functions as F
+    from xoverrr_spark.checker import QualityChecker
+
+    qc = QualityChecker(spark, results_table=str(tmp_path / "res_seq"))
+
+    # extract dropped the first 100 and last 50 ids — observed span says 0
+    spark.range(100, 950).select(F.col("id").alias("k")).createOrReplaceTempView(
+        "seq_trunc")
+    status0, _, stats0, _ = qc.check_sequence("seq_trunc", "k", tolerance_pct=1.0)
+    assert status0 == "success" and stats0["missing_total"] == 0  # the blind spot
+
+    status, report, stats, top = qc.check_sequence(
+        "seq_trunc", "k", tolerance_pct=1.0, expected_min=0, expected_max=999)
+    assert status == "failed"
+    assert stats["missing_total"] == 150          # 100 head + 50 tail
+    assert stats["missing_pct"] == 15.0           # over the EXPECTED span
+    gaps = {(g["gap_start"], g["gap_end"]) for g in top}
+    assert (0, 99) in gaps and (950, 999) in gaps
+    assert "expected: [0, 999]" in report
+
+    # empty extract: fails either way, 100% missing with bounds
+    spark.range(0).select(F.col("id").alias("k")).createOrReplaceTempView(
+        "seq_empty")
+    se, rep_e, st_e, top_e = qc.check_sequence(
+        "seq_empty", "k", expected_min=0, expected_max=9)
+    assert se == "failed" and st_e["missing_pct"] == 100.0
+    assert st_e["missing_total"] == 10
+    assert top_e[-1]["gap_start"] == 0 and top_e[-1]["gap_end"] == 9
+    se2, rep2, st2, _ = qc.check_sequence("seq_empty", "k")
+    assert se2 == "failed" and st2["missing_pct"] == 100.0
+    assert "empty extract" in rep2
+
+    # all-null keys behave like empty
+    spark.createDataFrame([(None,), (None,)], "k bigint").createOrReplaceTempView(
+        "seq_nulls")
+    se3, _, st3, _ = qc.check_sequence("seq_nulls", "k")
+    assert se3 == "failed" and st3["null_keys"] == 2
+
+    import pytest
+    with pytest.raises(ValueError, match="expected_min"):
+        qc.check_sequence("seq_trunc", "k", expected_min=5, expected_max=1)

@@ -54,3 +54,29 @@ def test_curate_v2_perf_gate(spark):
     dt = time.time() - t0
     release_intermediates(df)
     assert dt < 15.0, f"curate_v2 took {dt:.2f}s at sf0.01"
+
+
+def test_bench_fixture_cache_is_content_keyed(tmp_path):
+    """r4 verdict #5: .bench_cache fixtures were keyed only by (n, seed) —
+    a rulespec/generator edit silently benched stale inputs. The cache
+    filename now folds a digest of both source files, so any content
+    change maps to a NEW fixture path."""
+    import os
+    import shutil
+
+    from bench import _fixture_digest, fixture_path
+
+    repo = os.path.dirname(os.path.abspath(__file__ + "/.."))
+    d0 = _fixture_digest()
+    assert d0 in fixture_path(1000)  # the digest actually keys the path
+
+    # clone the two keyed sources, tweak the rulespec clone: digest moves
+    for rel in ("xoverrr_spark/fixtures/images.py",
+                "xoverrr_spark/functions/rulespec.py"):
+        dst = tmp_path / rel
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy(os.path.join(repo, rel), dst)
+    assert _fixture_digest(str(tmp_path)) == d0
+    with open(tmp_path / "xoverrr_spark/functions/rulespec.py", "a") as fh:
+        fh.write("\n# new caption category\n")
+    assert _fixture_digest(str(tmp_path)) != d0

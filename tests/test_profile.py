@@ -148,3 +148,41 @@ def test_histogram_drift_nan_inf_do_not_poison_bins(spark):
     trg2 = spark.createDataFrame([(float(i),) for i in range(50)], "x double")
     [r2] = histogram_drift(src2, trg2, ["x"]).collect()
     assert abs(r2["hist_tv"] - 0.5) < 1e-9, r2
+
+
+def test_histogram_drift_survives_target_type_drift(spark):
+    """r4 ADVICE: a column numeric in SRC but string in TRG used to make
+    cast('double') THROW under ANSI, collapsing check_profile_drift to the
+    generic error path. try_cast nulls the uncastable values, which then
+    land in the overflow bin — the type drift itself scores as distance."""
+    from xoverrr_spark.operators.profile import histogram_drift
+
+    src = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    trg = spark.createDataFrame([("not-a-number",)] * 100, "x string")
+    [r] = histogram_drift(src, trg, ["x"]).collect()
+    # all src mass in real bins, all trg mass in the overflow bin
+    assert abs(r["hist_tv"] - 1.0) < 1e-9
+
+    # castable strings behave like their numeric values: identical
+    # distributions read zero drift even across the type change
+    trg2 = spark.createDataFrame([(str(float(i)),) for i in range(100)], "x string")
+    [r2] = histogram_drift(src, trg2, ["x"]).collect()
+    assert r2["hist_tv"] == 0.0
+
+
+def test_check_profile_drift_scores_type_drift_instead_of_erroring(spark, tmp_path):
+    """End-to-end: numeric->string type drift on the target flows through
+    check_profile_drift as a scored FAILED, not the error path."""
+    from xoverrr_spark.checker import QualityChecker
+
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k bigint, x double"
+    ).createOrReplaceTempView("tdrift_src")
+    spark.createDataFrame(
+        [(i, "oops") for i in range(50)], "k bigint, x string"
+    ).createOrReplaceTempView("tdrift_trg")
+    qc = QualityChecker(spark, results_table=str(tmp_path / "res"))
+    status, report, stats, rows = qc.check_profile_drift(
+        "tdrift_src", "tdrift_trg", columns=["x"])
+    assert status == "failed" and stats is not None   # scored, not error
+    assert stats["drift_pct"] >= 100.0                # hist_tv 1.0 -> 100

@@ -130,3 +130,39 @@ def test_interval_join_null_timestamps_never_match(spark):
         (x.lv, x.rv)
         for x in interval_join(l, r, "k", join_type="left_outer").collect()
     ) == [("a", None), ("b", "x")]
+
+
+def test_interval_join_reserved_names_guarded_and_prenamed_ts_ok(spark):
+    """Reserved output names ('left_ts'/'right_ts'/'_r_key') in the inputs
+    raise up front instead of being silently overwritten — EXCEPT a ts
+    column that already carries its own output name, which is cast in
+    place (the old withColumn+drop pair self-destructed it: r4 ADVICE)."""
+    import pytest
+
+    l = spark.createDataFrame(
+        [(1, "a", T0)], "k bigint, lv string, left_ts timestamp")
+    r = spark.createDataFrame(
+        [(1, "x", _t(1))], "k bigint, rv string, ts timestamp")
+    # left_ts_col='left_ts' is the legitimate pre-named case: works
+    got = interval_join(l, r, "k", left_ts_col="left_ts").collect()
+    assert [(x.k, x.lv, x.rv) for x in got] == [(1, "a", "x")]
+    # ...and symmetrically for the right side
+    r2 = r.withColumnRenamed("ts", "right_ts")
+    got2 = interval_join(
+        l, r2, "k", left_ts_col="left_ts", right_ts_col="right_ts").collect()
+    assert [(x.lv, x.rv) for x in got2] == [("a", "x")]
+
+    # a NON-ts column squatting on a reserved name raises
+    plain_l = spark.createDataFrame(
+        [(1, "a", T0)], "k bigint, lv string, ts timestamp")
+    for side, bad_col in (("left", "right_ts"), ("left", "_r_key"),
+                          ("right", "left_ts"), ("right", "_r_key")):
+        from pyspark.sql import functions as F
+        if side == "left":
+            badl = plain_l.withColumn(bad_col, F.lit("squat"))
+            with pytest.raises(ValueError, match="reserved"):
+                interval_join(badl, r, "k")
+        else:
+            badr = r.withColumn(bad_col, F.lit("squat"))
+            with pytest.raises(ValueError, match="reserved"):
+                interval_join(plain_l, badr, "k")

@@ -75,3 +75,58 @@ def test_stream_merge_replay_after_head_flip_short_circuits(spark, tmp_path):
     fn(nxt, 1)
     assert {r.k: r.v for r in read_merged_table(spark, table).collect()} == {
         1: "a2", 2: "b1"}
+
+
+def test_stream_merge_fresh_checkpoint_over_existing_table_is_not_skipped(
+        spark, tmp_path):
+    """r4 ADVICE: the bare HEAD==batch_id short-circuit silently dropped
+    batch 0 of a NEW query (fresh checkpoint) over a reused table_dir.
+    The short-circuit now requires the lineage token to match too, and
+    versions are decoupled from batch ids so the re-fold never collides
+    with the path being read."""
+    import json
+    import os
+
+    from xoverrr_spark.streaming.stream_merge import make_merge_batch_fn
+
+    table = str(tmp_path / "t4")
+    ck_a, ck_b = tmp_path / "cka", tmp_path / "ckb"
+    for ck, qid in ((ck_a, "query-A"), (ck_b, "query-B")):
+        ck.mkdir()
+        (ck / "metadata").write_text(json.dumps({"id": qid}))
+
+    fn_a = make_merge_batch_fn(spark, table, ["k"], checkpoint_dir=str(ck_a))
+    b0 = spark.createDataFrame([(1, "a1", "U")], "k bigint, v string, op string")
+    fn_a(b0, 0)
+    assert {r.k: r.v for r in read_merged_table(spark, table).collect()} == {1: "a1"}
+    # replay of the SAME lineage + batch id: short-circuits (idempotent)
+    fn_a(b0, 0)
+    assert os.path.exists(f"{table}/v=0") and not os.path.exists(f"{table}/v=1")
+
+    # a DIFFERENT lineage delivering batch id 0 must FOLD, not skip
+    fn_b = make_merge_batch_fn(spark, table, ["k"], checkpoint_dir=str(ck_b))
+    b0_new = spark.createDataFrame(
+        [(2, "b1", "U")], "k bigint, v string, op string")
+    fn_b(b0_new, 0)
+    got = {r.k: r.v for r in read_merged_table(spark, table).collect()}
+    assert got == {1: "a1", 2: "b1"}          # new data landed — no loss
+    assert os.path.exists(f"{table}/v=1")     # version chain continued
+
+
+def test_stream_merge_reads_pre_r5_single_line_head(spark, tmp_path):
+    """Backward compat: a HEAD file with only a version line (pre-stamp
+    layout) still reads, and the next fold continues the version chain."""
+    from xoverrr_spark.streaming.stream_merge import make_merge_batch_fn
+
+    table = tmp_path / "t5"
+    table.mkdir()
+    spark.createDataFrame([(1, "old")], "k bigint, v string").write.parquet(
+        str(table / "v=7"))
+    (table / "HEAD").write_text("7")
+    assert {r.k: r.v for r in read_merged_table(spark, str(table)).collect()} == {
+        1: "old"}
+    fn = make_merge_batch_fn(spark, str(table), ["k"])
+    fn(spark.createDataFrame([(2, "new", "U")], "k bigint, v string, op string"), 7)
+    # old layout has no stamp -> no short-circuit even at matching id
+    got = {r.k: r.v for r in read_merged_table(spark, str(table)).collect()}
+    assert got == {1: "old", 2: "new"}

@@ -432,6 +432,11 @@ class QualityChecker:
 
             from pyspark.sql.types import NumericType
 
+            # numeric selection is from the SRC schema on purpose: a column
+            # that drifted numeric->string on the TARGET side must still be
+            # histogrammed (histogram_drift try_casts, so uncastable target
+            # values land in the overflow bin and the TYPE drift itself
+            # scores as distance instead of throwing under ANSI — r4 ADVICE)
             numeric = [
                 f.name for f in src.schema.fields
                 if f.name in cols and isinstance(f.dataType, NumericType)
@@ -541,6 +546,8 @@ class QualityChecker:
         tolerance_pct: float = 0.0,
         bucket_bits: int = 20,
         max_examples: int = 20,
+        expected_min: int | None = None,
+        expected_max: int | None = None,
         report_output_format: str = "text",
     ):
         """Sixth check type: key-sequence completeness of ONE table — the
@@ -549,7 +556,7 @@ class QualityChecker:
         interval via the partition-range ``operators.sequence.id_gaps``
         (bucketed lead + bounds stitch — no global sort), scores
 
-            missing_pct = total missing ids / key span (max-min+1) * 100
+            missing_pct = total missing ids / key span * 100
             final_score = 100 - missing_pct (floored at 0)
 
         and fails when ``missing_pct > tolerance_pct``. Null keys are
@@ -557,7 +564,27 @@ class QualityChecker:
         The ``max_examples`` largest gaps ride the report and the audit
         row's details JSON, so the operator localizes exactly WHICH id
         ranges a backfill must re-extract.
+
+        ``expected_min``/``expected_max`` pin the span the extract SHOULD
+        cover (e.g. from the upstream system's own min/max). Without them
+        the span is the observed [min, max] — which is blind to HEAD/TAIL
+        truncation: an extract that drops the first or last chunk of the
+        id range still scores 0 missing (r4 ADVICE). With them, ids
+        missing at either boundary count as gaps ([expected_min, min-1] /
+        [max+1, expected_max]) and an EMPTY extract scores missing_pct
+        100. An empty key set with no expected bounds also FAILS (score
+        0): a sequence check over zero keys cannot vacuously pass — the
+        all-rows-skipped extract is exactly the failure this check exists
+        to catch.
         """
+        if (
+            expected_min is not None
+            and expected_max is not None
+            and expected_min > expected_max
+        ):
+            # arg validation raises to the caller (a malformed CALL is not
+            # a failed CHECK — no audit row for it)
+            raise ValueError("expected_min > expected_max")
         run_id = uuid.uuid4().hex[:16]
         timings = CheckRunTimings(run_started_at=CheckRunTimings.now())
         gaps = None
@@ -584,30 +611,70 @@ class QualityChecker:
                 F.count(F.lit(1)).alias("gap_count"),
                 F.coalesce(F.sum("missing"), F.lit(0)).alias("missing_total"),
             ).collect()[0]
-            top = gaps.orderBy(F.desc("missing"), "gap_start").limit(
-                max_examples
-            ).collect()
+            top = [
+                r.asDict()
+                for r in gaps.orderBy(F.desc("missing"), "gap_start")
+                .limit(max_examples)
+                .collect()
+            ]
             timings.mark_dataset_check_end()
 
             n_nulls = stats_row["n_rows"] - stats_row["n_keys"]
-            span = (
-                stats_row["k_max"] - stats_row["k_min"] + 1
-                if stats_row["n_keys"] else 0
-            )
-            missing_pct = (
-                agg["missing_total"] * 100.0 / span if span else 0.0
-            )
-            status = (
-                D.CHECK_SUCCESS if missing_pct <= tolerance_pct else D.CHECK_FAILED
-            )
+            n_keys = stats_row["n_keys"]
+            gap_count = int(agg["gap_count"])
+            missing_total = int(agg["missing_total"])
+            # expected bounds extend the scored span and turn boundary
+            # truncation into explicit gaps (observed-span-only scoring is
+            # blind to a dropped head/tail chunk — r4 ADVICE)
+            lo = expected_min if expected_min is not None else stats_row["k_min"]
+            hi = expected_max if expected_max is not None else stats_row["k_max"]
+            if n_keys:
+                head_miss = max(0, stats_row["k_min"] - lo)
+                tail_miss = max(0, hi - stats_row["k_max"])
+                for n_miss, g_lo, g_hi in (
+                    (head_miss, lo, stats_row["k_min"] - 1),
+                    (tail_miss, stats_row["k_max"] + 1, hi),
+                ):
+                    if n_miss > 0:
+                        gap_count += 1
+                        missing_total += n_miss
+                        top.append(
+                            {"gap_start": g_lo, "gap_end": g_hi, "missing": n_miss}
+                        )
+                top.sort(key=lambda r: (-r["missing"], r["gap_start"]))
+                del top[max_examples:]
+            span = (hi - lo + 1) if (lo is not None and hi is not None) else 0
+            if n_keys:
+                missing_pct = missing_total * 100.0 / span if span else 0.0
+                status = (
+                    D.CHECK_SUCCESS if missing_pct <= tolerance_pct
+                    else D.CHECK_FAILED
+                )
+            else:
+                # zero non-null keys: the whole expected span (if given) is
+                # missing; either way an empty extract must not pass
+                # vacuously — it IS the skipped-rows failure mode
+                if span:
+                    missing_total = span
+                    gap_count += 1
+                    top.append({"gap_start": lo, "gap_end": hi, "missing": span})
+                missing_pct = 100.0
+                status = D.CHECK_FAILED
             name = check_name or "check_sequence"
             lines = [
                 f"sequence check: {name} [{run_id}] -> {status}",
-                f"keys: {stats_row['n_keys']} (nulls: {n_nulls})  "
+                f"keys: {n_keys} (nulls: {n_nulls})  "
                 f"span: [{stats_row['k_min']}, {stats_row['k_max']}]  "
-                f"gaps: {agg['gap_count']}  missing: {agg['missing_total']}  "
+                + (
+                    f"expected: [{lo}, {hi}]  "
+                    if expected_min is not None or expected_max is not None
+                    else ""
+                )
+                + f"gaps: {gap_count}  missing: {missing_total}  "
                 f"missing_pct: {missing_pct:.4f}  tolerance: {tolerance_pct}",
             ]
+            if not n_keys:
+                lines.append("  no non-null keys: empty extract cannot pass")
             for r in top:
                 lines.append(
                     f"  gap [{r['gap_start']}, {r['gap_end']}] "
@@ -615,10 +682,10 @@ class QualityChecker:
                 )
             text_report = "\n".join(lines)
             stats = {
-                "n_keys": int(stats_row["n_keys"]),
+                "n_keys": int(n_keys),
                 "null_keys": int(n_nulls),
-                "gap_count": int(agg["gap_count"]),
-                "missing_total": int(agg["missing_total"]),
+                "gap_count": gap_count,
+                "missing_total": missing_total,
                 "missing_pct": round(missing_pct, 4),
                 "final_score": round(max(0.0, 100.0 - missing_pct), 4),
             }
@@ -641,7 +708,7 @@ class QualityChecker:
                     check_name=name, report=text_report,
                     source_table=source_table if isinstance(source_table, str) else None,
                     timezone=self.timezone, stats=stats,
-                    details=[r.asDict() for r in top],
+                    details=list(top),
                 )
             timings.finish_run()
             self._persist(

@@ -74,7 +74,7 @@ class CheckStats:
 
 @dataclass
 class CheckDetails:
-    """Per-column breakdown + bounded examples (utils.py:180-189)."""
+    """Per-column breakdown + bounded examples (utils.py:175-188)."""
 
     issue_breakdown: list  # [(column_name, issue_count)] sorted desc
     issue_examples: list  # [{primary_key, column_name, source_value, target_value}]
@@ -83,6 +83,9 @@ class CheckDetails:
     source_only_keys_examples: tuple
     target_only_keys_examples: tuple
     evaluated_columns: list = field(default_factory=list)
+    # non-key columns present on one side only — NOT compared (utils.py:187-188)
+    skipped_source_columns: list = field(default_factory=list)
+    skipped_target_columns: list = field(default_factory=list)
 
 
 def build_check_stats(
@@ -321,6 +324,12 @@ def compare_frames(
             source_only_keys_examples=(),
             target_only_keys_examples=(),
             evaluated_columns=vals,
+            skipped_source_columns=[
+                c for c in src.columns if c not in keys and c not in vals
+            ],
+            skipped_target_columns=[
+                c for c in trg.columns if c not in keys and c not in vals
+            ],
         )
         if with_examples:
             def _tuples(rows):

@@ -236,8 +236,14 @@ def histogram_drift(
         # NaN/Inf poison the bin width (w = NaN => every value lands in
         # the last bin on BOTH sides and the distance silently reads 0) —
         # bounds come from finite values only; non-finite values get a
-        # dedicated overflow bin below so a NaN-rate shift still registers
-        x = F.col(c).cast("double")
+        # dedicated overflow bin below so a NaN-rate shift still registers.
+        # try_cast, not cast: under ANSI a plain cast THROWS on a
+        # non-numeric value (a src-numeric/trg-string type drift would
+        # collapse the whole check into the generic error path instead of
+        # scoring); try_cast nulls it, and the overflow-bin gate below then
+        # counts the uncastable value like a NaN — type drift reads as
+        # distance (r4 ADVICE).
+        x = F.col(c).try_cast("double")
         return F.when(
             ~F.isnan(x) & (x > F.lit(float("-inf"))) & (x < F.lit(float("inf"))), x
         )

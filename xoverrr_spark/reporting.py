@@ -31,7 +31,27 @@ def _fmt(x) -> str:
     return str(x)
 
 
+def format_report_collection(value) -> str:
+    """Collection rendering for report lines (reference utils.py:22-34):
+    None/empty -> '', sets sorted by str, sequences in order, comma-joined.
+    Key tuples print as-is; single-column keys were already unwrapped to
+    scalars when the examples were built (reference format_keys,
+    utils.py:978-982 — mirrored by compare_frames._tuples)."""
+    if value is None:
+        return ""
+    if isinstance(value, (set, frozenset)):
+        return ", ".join(str(x) for x in sorted(value, key=str))
+    if isinstance(value, (tuple, list)):
+        return ", ".join(str(x) for x in value)
+    return str(value)
+
+
 def render_samples_report(check_name, run_id, status, stats, details, tolerance_pct) -> str:
+    """Full field set of the reference's sample report
+    (reporting.py:208-340): run header, summary counters, pct block with
+    both scores, the FOUR key-example collections, evaluated + skipped
+    column lists, and the issue-breakdown section with its max-issue-pct
+    line — pinned by tests/test_report_fields.py."""
     lines = _header(check_name, run_id)
     if stats is None:
         lines += ["both sides empty -> SKIPPED", _RULE]
@@ -48,8 +68,29 @@ def render_samples_report(check_name, run_id, status, stats, details, tolerance_
         f"final score: {_fmt(stats.final_score)} (diff {_fmt(stats.final_diff_score)},"
         f" tolerance {_fmt(tolerance_pct)}) -> {status.upper()}",
     ]
+    if details:
+        lines += [
+            f"source-only key examples: "
+            f"{format_report_collection(details.source_only_keys_examples)}",
+            f"target-only key examples: "
+            f"{format_report_collection(details.target_only_keys_examples)}",
+            f"duplicated source key examples: "
+            f"{format_report_collection(details.dup_source_keys_examples)}",
+            f"duplicated target key examples: "
+            f"{format_report_collection(details.dup_target_keys_examples)}",
+            f"evaluated columns: "
+            f"{format_report_collection(details.evaluated_columns)}",
+            f"skipped source columns: "
+            f"{format_report_collection(details.skipped_source_columns)}",
+            f"skipped target columns: "
+            f"{format_report_collection(details.skipped_target_columns)}",
+        ]
     if details and details.issue_breakdown:
-        lines += ["", "ISSUE BREAKDOWN (column: count):"]
+        lines += [
+            "",
+            "ISSUE BREAKDOWN (column: count):",
+            f"  max issue %: {_fmt(stats.max_issue_pct)}",
+        ]
         lines += [f"  {c}: {n}" for c, n in details.issue_breakdown]
     if details and details.issue_examples:
         lines += ["", "EXAMPLES (pk | column | source -> target):"]
@@ -70,6 +111,9 @@ def render_counts_report(check_name, run_id, status, cstats, discrepancies, tole
         f"abs diff sum: {cstats.diff_sum}   common sum: {cstats.common_sum}",
         f"diff pct: {_fmt(cstats.diff_pct)} (tolerance {_fmt(tolerance_pct)})"
         f" -> {status.upper()}",
+        # reference prints BOTH scores (reporting.py:484-485): the
+        # discrepancy score (== diff pct) and the quality score (100 - pct)
+        f"final score: {_fmt(cstats.final_score)} (diff {_fmt(cstats.diff_pct)})",
         f"mismatched days: {cstats.mismatched_days}",
     ]
     if discrepancies:
@@ -88,8 +132,11 @@ def render_sniff_report(check_name, run_id, status, stats, histogram, examples, 
         "",
         f"total rows: {stats.total_rows}   passed: {stats.passed_rows}"
         f"   issues: {stats.issue_rows} ({_fmt(stats.issue_rows_pct)}%)",
-        f"final score: {_fmt(stats.final_score)} (tolerance {_fmt(tolerance_pct)})"
-        f" -> {status.upper()}",
+        # sniff's discrepancy score IS the issue pct (reference
+        # reporting.py:384-386 prints both scores; build_sniff_issue_stats
+        # sets final_diff_score = issue_rows_pct)
+        f"final score: {_fmt(stats.final_score)} (diff {_fmt(stats.issue_rows_pct)},"
+        f" tolerance {_fmt(tolerance_pct)}) -> {status.upper()}",
     ]
     if histogram:
         lines += ["", "STATUS VALUES:"]

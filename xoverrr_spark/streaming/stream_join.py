@@ -63,16 +63,32 @@ def interval_join(
             f"non-key columns collide across sides: {sorted(overlap)}; "
             "rename before joining"
         )
-    l = (
-        left.filter(F.col(on).isNotNull())
-        .withColumn("left_ts", F.col(left_ts_col).cast("timestamp"))
-        .drop(left_ts_col)
-        .withWatermark("left_ts", watermark_delay)
+    # The output reserves 'left_ts'/'right_ts'/'_r_key'. An input already
+    # carrying one of those (other than its OWN ts column, which may
+    # legitimately be pre-named) would be silently overwritten — and
+    # left_ts_col='left_ts' used to self-destruct (withColumn replaced it,
+    # then drop removed the replacement). Raise up front instead.
+    for side_name, df, own in (("left", left, {left_ts_col} if left_ts_col == "left_ts" else set()),
+                               ("right", right, {right_ts_col} if right_ts_col == "right_ts" else set())):
+        reserved = ({"left_ts", "right_ts", "_r_key"} - own) & set(df.columns)
+        if reserved:
+            raise ValueError(
+                f"{side_name} side carries reserved output column(s) "
+                f"{sorted(reserved)}; rename before joining"
+            )
+
+    def _retime(df, ts_col, out_name):
+        # in-place cast when the ts column already has the output name
+        # (dropping ts_col afterwards would remove the new column)
+        if ts_col == out_name:
+            return df.withColumn(out_name, F.col(out_name).cast("timestamp"))
+        return df.withColumn(out_name, F.col(ts_col).cast("timestamp")).drop(ts_col)
+
+    l = _retime(left.filter(F.col(on).isNotNull()), left_ts_col, "left_ts").withWatermark(
+        "left_ts", watermark_delay
     )
     r = (
-        right.filter(F.col(on).isNotNull())
-        .withColumn("right_ts", F.col(right_ts_col).cast("timestamp"))
-        .drop(right_ts_col)
+        _retime(right.filter(F.col(on).isNotNull()), right_ts_col, "right_ts")
         .withColumnRenamed(on, "_r_key")
         .withWatermark("right_ts", watermark_delay)
     )
