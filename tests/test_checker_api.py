@@ -589,3 +589,38 @@ def test_check_sequence_expected_bounds_catch_truncation_and_empty(spark, tmp_pa
     import pytest
     with pytest.raises(ValueError, match="expected_min"):
         qc.check_sequence("seq_trunc", "k", expected_min=5, expected_max=1)
+
+
+def test_check_sequence_out_of_range_keys_not_scored(spark, tmp_path):
+    """Stragglers OUTSIDE [expected_min, expected_max] must not poison the
+    sequence math: without the window clamp, ids above expected_max
+    manufacture a phantom gap from the window edge to the straggler and
+    fail a complete extract. They're excluded and reported instead."""
+    from pyspark.sql import functions as F
+    from xoverrr_spark.checker import QualityChecker
+
+    qc = QualityChecker(spark, results_table=str(tmp_path / "res_oor"))
+
+    # complete [0, 999] window + 5 stragglers at 5000.. and 2 below zero
+    spark.range(1000).select(F.col("id").alias("k")).union(
+        spark.range(5000, 5005).select(F.col("id").alias("k"))
+    ).union(
+        spark.range(-2, 0).select(F.col("id").alias("k"))
+    ).createOrReplaceTempView("seq_straggler")
+
+    status, report, stats, top = qc.check_sequence(
+        "seq_straggler", "k", tolerance_pct=0.0,
+        expected_min=0, expected_max=999)
+    assert status == "success"                 # window itself is complete
+    assert stats["missing_total"] == 0 and stats["missing_pct"] == 0.0
+    assert stats["out_of_range_keys"] == 7     # 5 above + 2 below
+    assert stats["n_keys"] == 1007             # raw count still reported
+    assert "out-of-range keys" in report and "7" in report
+
+    # ALL keys outside the window: cannot vacuously pass — whole span missing
+    se, rep, st, tp = qc.check_sequence(
+        "seq_straggler", "k", expected_min=2000, expected_max=2009)
+    assert se == "failed" and st["missing_pct"] == 100.0
+    assert st["missing_total"] == 10 and st["out_of_range_keys"] == 1007
+    assert "no keys inside expected span" in rep
+    assert tp[-1]["gap_start"] == 2000 and tp[-1]["gap_end"] == 2009

@@ -572,10 +572,15 @@ class QualityChecker:
         id range still scores 0 missing (r4 ADVICE). With them, ids
         missing at either boundary count as gaps ([expected_min, min-1] /
         [max+1, expected_max]) and an EMPTY extract scores missing_pct
-        100. An empty key set with no expected bounds also FAILS (score
-        0): a sequence check over zero keys cannot vacuously pass — the
-        all-rows-skipped extract is exactly the failure this check exists
-        to catch.
+        100. Observed keys OUTSIDE the expected window (late stragglers,
+        ids above expected_max) are excluded from the sequence math —
+        scoring them would manufacture phantom gaps between the window
+        edge and the straggler and push missing_pct past 100 on a
+        complete extract — and are reported as ``out_of_range_keys``
+        instead. An empty key set with no expected bounds also FAILS
+        (score 0): a sequence check over zero keys cannot vacuously pass
+        — the all-rows-skipped extract is exactly the failure this check
+        exists to catch.
         """
         if (
             expected_min is not None
@@ -596,17 +601,32 @@ class QualityChecker:
             if key_column not in src.columns:
                 raise MetadataError(f"no such column: {key_column}")
             k = F.col(key_column).cast("long")
+            # expected bounds define the scored WINDOW: only keys inside it
+            # take part in the sequence math. Stragglers outside the window
+            # otherwise manufacture phantom gaps between the window edge
+            # and themselves (missing_pct > 100 and a false FAILED on an
+            # extract that fully covers the expected span); they are
+            # surfaced as out_of_range_keys instead of scored.
+            in_window = F.lit(True)
+            if expected_min is not None:
+                in_window = in_window & (k >= F.lit(expected_min))
+            if expected_max is not None:
+                in_window = in_window & (k <= F.lit(expected_max))
+            k_w = F.when(in_window, k)
             timings.mark_query_start("source")
             stats_row = src.agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.count(k).alias("n_keys"),
-                F.min(k).alias("k_min"),
-                F.max(k).alias("k_max"),
+                F.count(k_w).alias("n_keys_w"),
+                F.min(k_w).alias("k_min"),
+                F.max(k_w).alias("k_max"),
             ).collect()[0]
             timings.mark_query_end("source")
 
             timings.mark_dataset_check_start()
-            gaps = id_gaps(src, key_column, bucket_bits).persist()
+            gaps = id_gaps(
+                src.where(in_window), key_column, bucket_bits
+            ).persist()
             agg = gaps.agg(
                 F.count(F.lit(1)).alias("gap_count"),
                 F.coalesce(F.sum("missing"), F.lit(0)).alias("missing_total"),
@@ -621,14 +641,18 @@ class QualityChecker:
 
             n_nulls = stats_row["n_rows"] - stats_row["n_keys"]
             n_keys = stats_row["n_keys"]
+            n_keys_w = stats_row["n_keys_w"]
+            out_of_range = int(n_keys - n_keys_w)
             gap_count = int(agg["gap_count"])
             missing_total = int(agg["missing_total"])
             # expected bounds extend the scored span and turn boundary
             # truncation into explicit gaps (observed-span-only scoring is
-            # blind to a dropped head/tail chunk — r4 ADVICE)
+            # blind to a dropped head/tail chunk — r4 ADVICE); k_min/k_max
+            # are window-clamped, so these boundary gaps never extend
+            # outside [expected_min, expected_max]
             lo = expected_min if expected_min is not None else stats_row["k_min"]
             hi = expected_max if expected_max is not None else stats_row["k_max"]
-            if n_keys:
+            if n_keys_w:
                 head_miss = max(0, stats_row["k_min"] - lo)
                 tail_miss = max(0, hi - stats_row["k_max"])
                 for n_miss, g_lo, g_hi in (
@@ -644,16 +668,17 @@ class QualityChecker:
                 top.sort(key=lambda r: (-r["missing"], r["gap_start"]))
                 del top[max_examples:]
             span = (hi - lo + 1) if (lo is not None and hi is not None) else 0
-            if n_keys:
+            if n_keys_w:
                 missing_pct = missing_total * 100.0 / span if span else 0.0
                 status = (
                     D.CHECK_SUCCESS if missing_pct <= tolerance_pct
                     else D.CHECK_FAILED
                 )
             else:
-                # zero non-null keys: the whole expected span (if given) is
-                # missing; either way an empty extract must not pass
-                # vacuously — it IS the skipped-rows failure mode
+                # zero in-window keys: the whole expected span (if given)
+                # is missing; either way an empty (or fully out-of-range)
+                # extract must not pass vacuously — it IS the skipped-rows
+                # failure mode
                 if span:
                     missing_total = span
                     gap_count += 1
@@ -675,6 +700,15 @@ class QualityChecker:
             ]
             if not n_keys:
                 lines.append("  no non-null keys: empty extract cannot pass")
+            elif not n_keys_w:
+                lines.append(
+                    "  no keys inside expected span: extract cannot pass"
+                )
+            if out_of_range:
+                lines.append(
+                    f"  out-of-range keys (outside expected [{lo}, {hi}]): "
+                    f"{out_of_range} — not scored as sequence positions"
+                )
             for r in top:
                 lines.append(
                     f"  gap [{r['gap_start']}, {r['gap_end']}] "
@@ -684,6 +718,7 @@ class QualityChecker:
             stats = {
                 "n_keys": int(n_keys),
                 "null_keys": int(n_nulls),
+                "out_of_range_keys": out_of_range,
                 "gap_count": gap_count,
                 "missing_total": missing_total,
                 "missing_pct": round(missing_pct, 4),
