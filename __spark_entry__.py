@@ -1105,6 +1105,100 @@ def q_q22_global_sales(spark, sf_dir):
     )
 
 
+_TPCH_TABLES = ("region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem")
+
+
+def _tpch_sql(spark, sf_dir, sql, tag):
+    """Execute an oracle TPC-H shape twin's SQL text on Spark verbatim.
+
+    The round-5 TPC-H additions (q2/q6/q9/q10/q11/q14/q15/q17/q19/q20/
+    q21) are written in the DuckDB ∩ Spark SQL dialect intersection
+    (DATE literals, EXTRACT(year), DECIMAL casts, correlated scalar
+    subqueries, EXISTS/IN) — so the Spark side runs the IDENTICAL text
+    with bare table names rewritten to per-query temp views. One SQL
+    string per query means the two engines can never drift structurally;
+    only Catalyst's physical planning differs.
+
+    Caveat: output aliases in these SQL texts must never equal a bare
+    table name (`AS nation` would be rewritten to `AS nation_qN` and
+    break column parity) — underscore-adjacent forms like `supp_nation`
+    are safe because \\b does not match inside a word.
+    """
+    import re
+
+    pat = re.compile(r"\b(" + "|".join(_TPCH_TABLES) + r")\b")
+    for t in sorted(set(pat.findall(sql))):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_{tag}")
+    return spark.sql(pat.sub(lambda m: f"{m.group(1)}_{tag}", sql))
+
+
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated MIN scalar subquery — cheapest supplier
+    rows per size-11 part (lineitem stands in for partsupp)."""
+    return _tpch_sql(spark, sf_dir, oracle.q2_min_cost_supplier(), "q2")
+
+
+def q_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-aggregate; every predicate reaches the
+    parquet scan (no join, no window — the pushdown litmus query)."""
+    return _tpch_sql(spark, sf_dir, oracle.q6_forecast_revenue(), "q6")
+
+
+def q_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: five-way join + derived-year grouping with
+    DECIMAL-cast per-row profit."""
+    return _tpch_sql(spark, sf_dir, oracle.q9_product_profit(), "q9")
+
+
+def q_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer over a
+    four-way join (no LIMIT: top-k ties are engine-nondeterministic)."""
+    return _tpch_sql(spark, sf_dir, oracle.q10_returned_items(), "q10")
+
+
+def q_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING gated by scalar subqueries (above-2x-mean
+    part value, exact scale-free math)."""
+    return _tpch_sql(spark, sf_dir, oracle.q11_important_parts(), "q11")
+
+
+def q_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo share) with
+    DECIMAL sums and a fixed-order DOUBLE division."""
+    return _tpch_sql(spark, sf_dir, oracle.q14_promo_revenue(), "q14")
+
+
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: aggregated CTE + scalar MAX over it joined back
+    to supplier; DECIMAL revenue makes the max-equality exact."""
+    return _tpch_sql(spark, sf_dir, oracle.q15_top_supplier(), "q15")
+
+
+def q_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subqueries; q < 0.2*avg(q)
+    rewritten as q*5*cnt < sum(q) for BIGINT-exact boundaries."""
+    return _tpch_sql(spark, sf_dir, oracle.q17_small_quantity(), "q17")
+
+
+def q_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs brand/size/quantity bands over a
+    part-lineitem join."""
+    return _tpch_sql(spark, sf_dir, oracle.q19_disjunctive_revenue(), "q19")
+
+
+def q_q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: IN over a grouped-HAVING subquery with a nested
+    IN (lineitem stands in for partsupp)."""
+    return _tpch_sql(spark, sf_dir, oracle.q20_potential_promotion(), "q20")
+
+
+def q_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS on the same table
+    with supplier-inequality (sole failing supplier per order)."""
+    return _tpch_sql(spark, sf_dir, oracle.q21_waiting_suppliers(), "q21")
+
+
 def q_sliding_counts(spark, sf_dir):
     """Sliding event-time windows (10 min window / 5 min step) — the batch
     twin of the streaming windowed aggregation; each event lands in
@@ -1364,6 +1458,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": q_q7_volume_shipping,
         "q8_market_share": q_q8_market_share,
         "q12_priority_counts": q_q12_priority_counts,
+        # --- round-5 additions: remaining TPC-H shape twins --------------
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q9_product_profit": q_q9_product_profit,
+        "q10_returned_items": q_q10_returned_items,
+        "q11_important_parts": q_q11_important_parts,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q17_small_quantity": q_q17_small_quantity,
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+        "q20_potential_promotion": q_q20_potential_promotion,
+        "q21_waiting_suppliers": q_q21_waiting_suppliers,
     }
 
 
@@ -1453,4 +1559,15 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_supplier": oracle.q16_parts_supplier(),
         "q18_large_volume": oracle.q18_large_volume(),
         "q22_global_sales": oracle.q22_global_sales(),
+        "q2_min_cost_supplier": oracle.q2_min_cost_supplier(),
+        "q6_forecast_revenue": oracle.q6_forecast_revenue(),
+        "q9_product_profit": oracle.q9_product_profit(),
+        "q10_returned_items": oracle.q10_returned_items(),
+        "q11_important_parts": oracle.q11_important_parts(),
+        "q14_promo_revenue": oracle.q14_promo_revenue(),
+        "q15_top_supplier": oracle.q15_top_supplier(),
+        "q17_small_quantity": oracle.q17_small_quantity(),
+        "q19_disjunctive_revenue": oracle.q19_disjunctive_revenue(),
+        "q20_potential_promotion": oracle.q20_potential_promotion(),
+        "q21_waiting_suppliers": oracle.q21_waiting_suppliers(),
     }

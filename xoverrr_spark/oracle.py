@@ -2090,3 +2090,195 @@ FROM (
 ) custsale
 GROUP BY cntrycode
 """
+
+
+def q2_min_cost_supplier() -> str:
+    """TPC-H Q2 shape twin: correlated MIN scalar subquery selecting the
+    cheapest supplier rows per part (reference has no Spark engine; shape
+    per TPC-H spec Q2 with lineitem standing in for partsupp — the
+    testdata has no partsupp/ps_supplycost). MIN is exact selection (no
+    arithmetic) so float equality is engine-stable."""
+    return """
+SELECT DISTINCT p.p_partkey, p.p_name, s.s_name,
+       CAST(l.l_extendedprice AS DECIMAL(18,2)) AS min_cost
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size = 11
+  AND l.l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+def q6_forecast_revenue() -> str:
+    """TPC-H Q6 shape twin: pure scan-aggregate with range predicates —
+    every filter must reach the parquet scan."""
+    return """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q9_product_profit() -> str:
+    """TPC-H Q9 shape twin: five-way join + derived-year grouping.
+    p_retailprice*qty*0.1 stands in for ps_supplycost (no partsupp).
+    Per-row profit is a double expression with fixed parse order, then
+    DECIMAL-cast before SUM for cross-engine addition order."""
+    return """
+SELECT n.n_name AS supp_nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * l.l_quantity * 0.1 AS DECIMAL(18,4))) AS DOUBLE) AS profit
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE 'red%'
+GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER)
+"""
+
+
+def q10_returned_items() -> str:
+    """TPC-H Q10 shape twin: returned-item revenue per customer (no
+    LIMIT — top-k truncation is tie-nondeterministic across engines;
+    the full deterministic group set is compared instead)."""
+    return """
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(c.c_acctbal AS DECIMAL(18,2)) AS c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1996-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+"""
+
+
+def q11_important_parts() -> str:
+    """TPC-H Q11 shape twin: HAVING gated by scalar subqueries. The
+    above-2x-mean test is sum*n_parts > 2*total — exact DECIMAL/BIGINT
+    math, scale-free (a fixed share threshold goes vacuous as the part
+    count grows)."""
+    return """
+SELECT l.l_partkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE s.s_nationkey = 3
+GROUP BY l.l_partkey
+HAVING SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * (
+    SELECT COUNT(DISTINCT l3.l_partkey) FROM lineitem l3
+    JOIN supplier s3 ON s3.s_suppkey = l3.l_suppkey WHERE s3.s_nationkey = 3
+  ) > 2 * (
+    SELECT SUM(CAST(l2.l_extendedprice AS DECIMAL(18,2))) FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey WHERE s2.s_nationkey = 3)
+"""
+
+
+def q14_promo_revenue() -> str:
+    """TPC-H Q14 shape twin: conditional-aggregate ratio. Both sums are
+    exact DECIMAL; the single ratio is computed in DOUBLE with fixed
+    left-assoc order (100.0*x)/y — identical IEEE ops per engine."""
+    return """
+SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'ECONOMY'
+          THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+       AS DOUBLE) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1996-02-01'
+"""
+
+
+def q15_top_supplier() -> str:
+    """TPC-H Q15 shape twin: aggregated CTE + scalar MAX over it, joined
+    back to supplier. DECIMAL revenue makes the MAX-equality exact."""
+    return """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+"""
+
+
+def q17_small_quantity() -> str:
+    """TPC-H Q17 shape twin: correlated scalar subqueries per outer row.
+    q < 0.2*avg(q) is rewritten q*5*cnt < sum(q) — BIGINT-exact on both
+    engines (a float AVG threshold could flip boundary rows)."""
+    return """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND CAST(l.l_quantity AS BIGINT) * 5 * (
+    SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  ) < (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def q19_disjunctive_revenue() -> str:
+    """TPC-H Q19 shape twin: disjunction of conjunctive brand/size/qty
+    bands over a join — the OR-of-ANDs predicate Catalyst must still
+    push below the join build side."""
+    return """
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+
+def q20_potential_promotion() -> str:
+    """TPC-H Q20 shape twin: IN over a grouped-HAVING subquery that is
+    itself filtered by a nested IN (lineitem stands in for partsupp;
+    qty>40 keeps the inner HAVING selective but non-vacuous at small SF)."""
+    return """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_nationkey = 5
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING SUM(CAST(l.l_quantity AS BIGINT)) > 40
+  )
+"""
+
+
+def q21_waiting_suppliers() -> str:
+    """TPC-H Q21 shape twin: EXISTS + NOT EXISTS both correlated on the
+    same table with a supplier-inequality — the classic 'sole failing
+    supplier on a multi-supplier order' pattern. l_returnflag='R' stands
+    in for receiptdate>commitdate (testdata has no commit/receipt dates)."""
+    return """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+"""
