@@ -269,3 +269,27 @@ def test_id_gaps_degenerate_inputs(spark):
     # null keys carry no sequence position
     nulls = spark.createDataFrame([(None,), (1,), (4,)], "k bigint")
     assert [(r.gap_start, r.gap_end) for r in id_gaps(nulls, "k").collect()] == [(2, 3)]
+
+
+def test_tpch_shape_twins_plans(spark, sf_dir):
+    """Round-5 TPC-H additions: the shared-SQL twins must produce the
+    scale-shaped plans they were designed for — q6 pushes every range
+    predicate into the parquet scan; q17's correlated scalar subqueries
+    rewrite to aggregated (hash-agg) joins, never a nested-loop; q21's
+    EXISTS/NOT EXISTS become semi/anti joins."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    p6 = _formatted(qs["q6_forecast_revenue"](spark, sf_dir))
+    pushed = [l for l in p6.splitlines() if "PushedFilters" in l]
+    assert pushed, p6
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed[0], pushed[0]
+
+    p17 = _plan(qs["q17_small_quantity"](spark, sf_dir))
+    assert "NestedLoop" not in p17 and "CartesianProduct" not in p17, p17
+    assert "HashAggregate" in p17, p17
+
+    p21 = _plan(qs["q21_waiting_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in p21 and "LeftAnti" in p21, p21
+    assert "CartesianProduct" not in p21, p21
