@@ -1,0 +1,125 @@
+"""Bucketed co-located joins: the write-once-shuffle-never contract.
+
+The plan assertions are the point: a join of two co-bucketed tables must
+show NO Exchange on either side (the 100-TB win), and a groupBy on the
+bucket key must aggregate in place. Parity vs the plain join pins that
+bucketing never changes results, only physical movement.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xoverrr_spark.operators.bucketing import (
+    assert_cobucketed,
+    bucket_spec,
+    write_bucketed,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = write_bucketed(orders, "orders_b", ["o_orderkey"], 8,
+                       str(base / "orders_b"))
+    li = write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", ["o_orderkey"], 8, str(base / "lineitem_b"))
+    yield o, li, orders, lineitem
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_cobucketed_join_has_no_exchange(spark, bucketed):
+    o, li, *_ = bucketed
+    # force the sort-merge path: broadcast would hide the exchange question
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = o.join(li, "o_orderkey").groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"))
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan
+        # the ONLY exchange allowed is the one for the final tiny groupBy
+        # on o_orderstatus (not a bucket key); the join itself moves nothing
+        join_part = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange hashpartitioning" not in join_part, plan
+        assert "BroadcastExchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_groupby_on_bucket_key_aggregates_in_place(spark, bucketed):
+    _, li, *_ = bucketed
+    agg = li.groupBy("o_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    plan = _plan(agg)
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bucketed_join_parity_with_plain_join(spark, bucketed):
+    o, li, orders, lineitem = bucketed
+    got = sorted(
+        o.join(li, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect())
+    want = sorted(
+        orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect())
+    assert got == want and got, got
+
+
+def test_one_file_per_bucket(spark, bucketed, sf_dir):
+    # the repartition-by-key inside write_bucketed keeps file count ==
+    # bucket count (writer-task fan-out would give n_tasks * n_buckets
+    # small files — the classic bucketed-write footgun)
+    import glob
+    import os
+
+    loc = [
+        r["data_type"] for r in
+        spark.sql("DESCRIBE TABLE EXTENDED orders_b").collect()
+        if r["col_name"] == "Location"
+    ][0]
+    files = glob.glob(os.path.join(loc.replace("file:", ""), "*.parquet"))
+    assert len(files) == 8, sorted(os.path.basename(f) for f in files)
+
+
+def test_bucket_spec_and_cobucket_guard(spark, bucketed, tmp_path):
+    spec = bucket_spec(spark, "orders_b")
+    assert spec == {"n_buckets": 8, "bucket_keys": ["o_orderkey"],
+                    "sort_keys": ["o_orderkey"]}
+    assert_cobucketed(spark, "orders_b", "lineitem_b", ["o_orderkey"])
+
+    # different bucket count on one side -> loud failure, not silent shuffle
+    o16 = write_bucketed(
+        spark.table("orders_b"), "orders_b16", ["o_orderkey"], 16,
+        str(tmp_path / "orders_b16"))
+    try:
+        with pytest.raises(ValueError, match="bucket counts differ"):
+            assert_cobucketed(spark, "orders_b16", "lineitem_b",
+                              ["o_orderkey"])
+        with pytest.raises(ValueError, match="join is on"):
+            assert_cobucketed(spark, "orders_b", "lineitem_b", ["o_custkey"])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b16")
+
+
+def test_write_bucketed_arg_validation(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with pytest.raises(ValueError, match="n_buckets"):
+        write_bucketed(orders, "t", ["o_orderkey"], 0, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="bucket key"):
+        write_bucketed(orders, "t", [], 4, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        write_bucketed(orders, "t", ["nope"], 4, str(tmp_path / "t"))
