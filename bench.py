@@ -180,6 +180,82 @@ def time_pipeline_with_payload(cores: int, rows: int = 100000) -> float:
     return dt
 
 
+BUCKET_JOIN_ROWS = 4_000_000
+BUCKET_JOIN_BUCKETS = 32
+
+
+def _bucket_bench_tables(spark):
+    """Two 4M-row fact tables, as plain parquet AND co-bucketed catalog
+    tables (one-time write, cached; the in-memory catalog is per-session
+    so existing bucketed data is re-registered via CREATE TABLE ...
+    CLUSTERED BY ... LOCATION on every run)."""
+    from pyspark.sql import functions as F
+
+    base = os.path.join(CACHE, f"bucket_join_{BUCKET_JOIN_ROWS}")
+    plain1, plain2 = os.path.join(base, "plain1"), os.path.join(base, "plain2")
+    b1, b2 = os.path.join(base, "bucketed1"), os.path.join(base, "bucketed2")
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        from xoverrr_spark.operators.bucketing import write_bucketed
+
+        os.makedirs(base, exist_ok=True)
+        f1 = spark.range(BUCKET_JOIN_ROWS).select(
+            F.col("id").alias("k"), (F.col("id") % 1000).alias("v"))
+        f2 = spark.range(BUCKET_JOIN_ROWS).select(
+            F.col("id").alias("k"), ((F.col("id") * 7) % 1000).alias("w"))
+        f1.write.mode("overwrite").parquet(plain1)
+        f2.write.mode("overwrite").parquet(plain2)
+        spark.sql("DROP TABLE IF EXISTS bench_f1_b")
+        spark.sql("DROP TABLE IF EXISTS bench_f2_b")
+        write_bucketed(f1, "bench_f1_b", ["k"], BUCKET_JOIN_BUCKETS, b1)
+        write_bucketed(f2, "bench_f2_b", ["k"], BUCKET_JOIN_BUCKETS, b2)
+        open(done, "w").close()
+    for t, p, cols in (("bench_f1_b", b1, "k BIGINT, v BIGINT"),
+                       ("bench_f2_b", b2, "k BIGINT, w BIGINT")):
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {t} ({cols}) USING parquet "
+            f"CLUSTERED BY (k) SORTED BY (k) INTO {BUCKET_JOIN_BUCKETS} "
+            f"BUCKETS LOCATION '{p}'")
+    return plain1, plain2
+
+
+def time_bucketed_join(spark) -> tuple[float, float]:
+    """Fact-to-fact 4M x 4M equi-join + aggregate, plain parquet (two
+    shuffle exchanges + sorts) vs co-bucketed tables (zero exchanges —
+    the shuffle was paid ONCE at write time). The 100-TB argument in one
+    number: a recurring big join over bucketed layout skips the
+    full-table network movement every single run. Broadcast is disabled
+    so both paths plan the same SortMergeJoin skeleton."""
+    from pyspark.sql import functions as F
+
+    p1, p2 = _bucket_bench_tables(spark)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def plain():
+            return (spark.read.parquet(p1).join(spark.read.parquet(p2), "k")
+                    .agg(F.sum(F.col("v") * F.col("w")).alias("s")))
+
+        def bucketed():
+            return (spark.table("bench_f1_b")
+                    .join(spark.table("bench_f2_b"), "k")
+                    .agg(F.sum(F.col("v") * F.col("w")).alias("s")))
+
+        # same answer, or the comparison is meaningless
+        assert plain().collect() == bucketed().collect()  # doubles as warm-up
+        times = []
+        for fn in (plain, bucketed):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn().collect()
+                best = min(best, time.time() - t0)
+            times.append(best)
+        return times[0], times[1]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 OPERATOR_QUERY_NAMES = [
     "diff_classify_orders", "diff_stats_orders", "dup_keys_lineitem",
     "daily_counts_events", "q1_pricing_summary", "revenue_top10",
@@ -260,6 +336,9 @@ def main() -> None:
     queries = run_operator_queries(spark)
     diff_sec, diff_pairs_per_sec = time_diff_1m(spark)
     compare_full_sec = time_compare_full_1m(spark)
+    shuffle_join_sec, bucketed_join_sec = time_bucketed_join(spark)
+    queries["shuffle_join_4m"] = round(shuffle_join_sec, 3)
+    queries["bucketed_join_4m"] = round(bucketed_join_sec, 3)
     queries["compare_frames_full_1m"] = round(compare_full_sec, 3)
     queries[f"pipeline_local{SCALE_LOW}"] = round(t_low, 3)
     queries[f"pipeline_local{SCALE_HIGH}"] = round(t_high, 3)
@@ -295,6 +374,8 @@ def main() -> None:
         # measured by scripts/executor_scaling.py -> BENCH_EXECUTORS.md
         "executor_scaling_evidence": "BENCH_EXECUTORS.md (1->4 executors, eff 0.86-1.05 across runs)",
         "diff_row_pairs_per_sec": round(diff_pairs_per_sec, 1),
+        # co-located (bucketed) vs shuffle join, same 4Mx4M SMJ + agg
+        "bucketed_join_speedup": round(shuffle_join_sec / bucketed_join_sec, 2),
         # shared-host load OUTSIDE this container when the bench started;
         # values >~2 depress all numbers and especially scaling efficiency
         "external_loadavg_at_start": round(load_before, 2),
@@ -410,6 +491,14 @@ def main() -> None:
             f"(4x): {t_4m:.2f} s = {thr_4m:,.0f} images/s — "
             f"{thr_4m / thr_full:.2f}x the 1x throughput (rising = "
             "overhead amortizes, no stage superlinear or driver-bound).\n\n"
+            f"Co-located join (operators/bucketing.py): 4M x 4M fact-fact\n"
+            f"equi-join + aggregate, broadcast disabled. Plain parquet\n"
+            f"(shuffles both sides every run): **{shuffle_join_sec:.2f} s**;\n"
+            f"co-bucketed tables (shuffle paid once at write): "
+            f"**{bucketed_join_sec:.2f} s** = "
+            f"{shuffle_join_sec / bucketed_join_sec:.2f}x. At 100 TB the\n"
+            f"plain path re-moves the full table over the network per run;\n"
+            f"the bucketed path moves nothing.\n\n"
             "Executor-level (multi-JVM local-cluster) scaling lives in\n"
             "BENCH_EXECUTORS.md (scripts/executor_scaling.py) — measured\n"
             "1.045 efficiency from 1 to 4 real executors.\n\n"
