@@ -30,6 +30,16 @@ Operational notes (encoded in ``write_bucketed``):
   an explicit external ``path`` so nothing lands in a default warehouse.
   On a real cluster the catalog is HMS/Unity/Iceberg; in-session the
   default catalog works identically.
+- NULL-KEY TRAP (measured, pinned by tests/test_bucketing.py): an
+  ``eqNullSafe`` join does NOT satisfy the bucketed distribution — the
+  planner re-shuffles BOTH sides, silently discarding the co-location
+  you bucketed for. This collides with this repo's null-key discipline
+  (null-safe joins preferred on nullable keys). Resolution for bucketed
+  layouts: coalesce null keys to a reserved sentinel BEFORE
+  ``write_bucketed`` (the exact_dedup sentinel pattern), then a plain
+  equi-join both matches the null rows and keeps the zero-shuffle plan.
+  A plain equi-join on nullable keys stays co-located but drops
+  null-key rows on both paths identically.
 """
 
 from __future__ import annotations
