@@ -32,6 +32,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # this engine's dominant shapes are join -> keyed agg; by default
+        # AQE will NOT split a skewed join partition when the downstream
+        # agg shares the join partitioning (splitting costs one extra
+        # shuffle) and the hot-key straggler survives. At real skew the
+        # straggler dominates that shuffle — opt in. Results identical;
+        # pinned by tests/test_skew_aqe.py.
+        .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
