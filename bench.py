@@ -434,8 +434,12 @@ def main() -> None:
         except ValueError:
             stream_recs = []
         if stream_recs:
+            # default-provider ops only: the RocksDB leg lives in
+            # STREAM_BENCH.md; folding it too would push the headline
+            # line past the driver's tail window and strip the block
             result["streaming"] = {
                 r["op"]: r["rows_per_sec"] for r in stream_recs
+                if r.get("state_store", "default") == "default"
             }
 
     # sf1 per-operator sweep (scripts/sf1_timing_sweep.py): one scalar —
