@@ -340,9 +340,10 @@ def main() -> None:
     queries["shuffle_join_4m"] = round(shuffle_join_sec, 3)
     queries["bucketed_join_4m"] = round(bucketed_join_sec, 3)
     queries["compare_frames_full_1m"] = round(compare_full_sec, 3)
-    queries[f"pipeline_local{SCALE_LOW}"] = round(t_low, 3)
-    queries[f"pipeline_local{SCALE_HIGH}"] = round(t_high, 3)
-    queries[f"pipeline_local{CPUS}"] = round(t_full, 3)
+    # NOTE: pipeline_localN times are NOT duplicated into queries — the
+    # scaling block carries both throughputs and `value` is the local[CPUS]
+    # wall; the ~90 chars saved keep the streaming block inside the
+    # driver's 2000-char tail window (it was being silently stripped)
     queries["pipeline_with_payload_100k"] = round(t_payload, 3)
     queries["diff_1m_rows_x10cols"] = round(diff_sec, 3)
     spark.stop()
@@ -372,7 +373,7 @@ def main() -> None:
         },
         # multi-JVM executor-level scaling (1 vs 4 real executors) is
         # measured by scripts/executor_scaling.py -> BENCH_EXECUTORS.md
-        "executor_scaling_evidence": "BENCH_EXECUTORS.md (1->4 executors, eff 0.86-1.05 across runs)",
+        "executors_1to4": "eff 0.80-1.05, BENCH_EXECUTORS.md",
         "diff_row_pairs_per_sec": round(diff_pairs_per_sec, 1),
         # co-located (bucketed) vs shuffle join, same 4Mx4M SMJ + agg
         "bucketed_join_speedup": round(shuffle_join_sec / bucketed_join_sec, 2),
@@ -532,8 +533,11 @@ def main() -> None:
     # must be the final line AND fit that window (r4's line overflowed it →
     # parsed: null). Strip optional blocks in priority order until it fits.
     line = json.dumps(result)
-    for drop in ("streaming", "dedup_job_scale", "scale_up_4x",
-                 "executor_scaling_evidence", "scaling"):
+    # drop order = least-load-bearing first; "streaming" near the END so
+    # the only per-round streaming record survives stripping (pre-r5 it
+    # was the first casualty and silently vanished from the hard signal)
+    for drop in ("executors_1to4", "scale_up_4x", "dedup_job_scale",
+                 "streaming", "scaling"):
         if len(line) <= 1900:
             break
         result.pop(drop, None)
