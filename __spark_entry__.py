@@ -1123,14 +1123,34 @@ def _tpch_sql(spark, sf_dir, sql, tag):
     Caveat: output aliases in these SQL texts must never equal a bare
     table name (`AS nation` would be rewritten to `AS nation_qN` and
     break column parity) — underscore-adjacent forms like `supp_nation`
-    are safe because \\b does not match inside a word.
+    are safe because \\b does not match inside a word. String literals
+    are exempt from rewriting (a `LIKE '%part%'` pattern must reach
+    both engines byte-identical — rewriting it Spark-side only would
+    silently diverge the two results the parity gate compares).
     """
+    rewritten, tables = _rewrite_tpch_tables(sql, tag)
+    for t in tables:
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_{tag}")
+    return spark.sql(rewritten)
+
+
+def _rewrite_tpch_tables(sql, tag):
+    """Rewrite bare TPC-H table names to ``{table}_{tag}`` OUTSIDE
+    single-quoted SQL string literals ('' escapes handled); return
+    (rewritten_sql, sorted set of table names seen outside literals)."""
     import re
 
     pat = re.compile(r"\b(" + "|".join(_TPCH_TABLES) + r")\b")
-    for t in sorted(set(pat.findall(sql))):
-        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_{tag}")
-    return spark.sql(pat.sub(lambda m: f"{m.group(1)}_{tag}", sql))
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    seen: set = set()
+    out = []
+    for i, seg in enumerate(parts):
+        if i % 2:  # quoted literal — pass through untouched
+            out.append(seg)
+        else:
+            seen.update(pat.findall(seg))
+            out.append(pat.sub(lambda m: f"{m.group(1)}_{tag}", seg))
+    return "".join(out), sorted(seen)
 
 
 def q_q2_min_cost_supplier(spark, sf_dir):
