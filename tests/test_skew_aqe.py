@@ -29,6 +29,12 @@ _CONF = {
     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
     "spark.sql.adaptive.forceOptimizeSkewedJoin": "false",
+    # skew detection reads COMPRESSED shuffle-block bytes, so whether the
+    # hot partition clears the threshold depends on partition count and
+    # payload compressibility — pin the count these facts were measured
+    # at (the conftest default, but a library entry point clobbering the
+    # session conf once made this flake in full-suite runs only)
+    "spark.sql.shuffle.partitions": "4",
 }
 
 
@@ -82,3 +88,32 @@ def test_aqe_skew_split_suppressed_by_downstream_agg(spark, skew_conf):
     assert "skew=true" in plan2, plan2
     # and forcing never changes results
     assert sorted(agg2.collect()) == sorted(agg.collect())
+
+
+def test_skew_detection_blind_to_compressible_constant_key(spark, skew_conf):
+    """THIRD pinned fact (found when fact 2's pin flaked at a different
+    partition count): AQE's skew detection reads compressed shuffle-block
+    BYTES, not row counts. When column pruning reduces the skewed side to
+    just the constant join key (join -> agg that uses no other left
+    column), the hot partition — 1.8M identical longs — compresses to
+    almost nothing, and at a high-enough partition count it falls under
+    skewedPartitionThresholdInBytes: NO split, even with
+    forceOptimizeSkewedJoin. At 100 TB the consequence is real: a
+    row-count straggler whose payload compresses well (constant/low-
+    cardinality columns) is invisible to byte-based skew detection —
+    if the hot key's work is row-bound (CPU, UDF, agg), salt it
+    explicitly (operators/salting.py) instead of relying on AQE."""
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    a, b = _skewed_frames(spark)
+    # drop v from the plan: sum(w) uses only right-side payload, so the
+    # left shuffle carries the constant key alone
+    agg = a.join(b, "k").groupBy("k").agg(F.sum("w").alias("s"))
+    plan = _final_plan_after_collect(agg)
+    assert "skew=true" not in plan, plan
+    # same shape with the incompressible left payload kept in the agg:
+    # the hot block's bytes now clear the threshold and the split fires
+    agg2 = a.join(b, "k").groupBy("k").agg(F.sum("w").alias("s"),
+                                           F.sum("v").alias("sv"))
+    plan2 = _final_plan_after_collect(agg2)
+    assert "skew=true" in plan2, plan2

@@ -21,6 +21,26 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    """Create (or return) the process-wide SparkSession.
+
+    FIRST CALLER WINS, fully: if a live session already exists it is
+    returned UNTOUCHED. This is not what bare ``getOrCreate`` does —
+    ``builder.config(...).getOrCreate()`` silently RE-APPLIES every
+    runtime SQL conf to the existing session, so a library entry point
+    calling ``get_spark()`` (e.g. ``pipeline.runner.main``) would clobber
+    the caller's session settings (``spark.sql.shuffle.partitions`` above
+    all). That exact clobber made an AQE plan pin flake only in full-suite
+    runs. Per-call knobs (``cores``/``shuffle_partitions``/``extra_conf``)
+    therefore apply only when this call actually creates the session.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        try:
+            alive = not active.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            alive = False
+        if alive:
+            return active
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     if shuffle_partitions is None:
