@@ -197,6 +197,21 @@ def q_customers_without_orders(spark, sf_dir):
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
+def q_fk_orphans_orders(spark, sf_dir):
+    """Referential-integrity audit (the engine behind
+    checker.check_referential, operators/integrity.fk_orphans): orders
+    whose customer is absent from the positive-balance parent set.
+    broadcast_parent keeps the fact-side scan shuffle-free — the plan a
+    100-TB child table needs against a dimension-sized parent."""
+    from xoverrr_spark.operators.integrity import fk_orphans
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    return fk_orphans(
+        o, c, [("o_custkey", "c_custkey")], broadcast_parent=True
+    ).select("o_orderkey", "o_custkey")
+
+
 def q_top3_suppliers(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
@@ -1404,6 +1419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_events": q_grouping_sets,
         "histogram_orders": q_histogram_orders,
         "multimodal_near_dup_clusters": q_multimodal_near_dup_clusters,
+        # round-5 new check family (referential integrity) — straight
+        # into the driver window; id_gaps_orders (r4-green) rides the tail
+        "fk_orphans_orders": q_fk_orphans_orders,
         # --- dedup chain ------------------------------------------------
         "exact_dedup_documents": q_exact_dedup,
         "exact_dedup_survivors_documents": q_exact_dedup_survivors,
@@ -1512,6 +1530,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": oracle.q1_pricing_summary(),
         "revenue_top10": oracle.revenue_top10(),
         "customers_without_orders": oracle.customers_without_orders(),
+        "fk_orphans_orders": oracle.fk_orphans_orders(),
         "top3_suppliers_per_nation": oracle.top3_suppliers_per_nation(),
         "langid_documents": oracle.langid_documents(),
         "token_stats_documents": oracle.token_stats_documents(),

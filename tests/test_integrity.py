@@ -1,0 +1,171 @@
+"""Referential-integrity check (seventh check type): fk_orphans operator
+semantics (ANSI null-FK handling, composite/renamed keys, broadcast plan)
+and the checker facade's scoring/report/audit/error paths."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from xoverrr_spark.checker import QualityChecker
+from xoverrr_spark.operators.integrity import fk_orphans, null_fk_count
+
+
+def _frames(spark):
+    child = spark.createDataFrame(
+        [
+            (1, 10, "a"),
+            (2, 11, "b"),
+            (3, 99, "orphan"),      # no parent 99
+            (4, None, "null-fk"),   # ANSI: satisfies the constraint
+            (5, 98, "orphan2"),
+            (6, 10, "a2"),
+        ],
+        "row_id int, cust int, payload string",
+    )
+    parent = spark.createDataFrame(
+        [(10, "p"), (11, "q"), (12, "unreferenced")], "ckey int, name string"
+    )
+    return child, parent
+
+
+def test_fk_orphans_semantics_and_null_exclusion(spark):
+    child, parent = _frames(spark)
+    got = fk_orphans(child, parent, [("cust", "ckey")])
+    rows = sorted((r.row_id, r.cust) for r in got.collect())
+    assert rows == [(3, 99), (5, 98)]  # null-fk row 4 is NOT an orphan
+    # full child rows ride through (example projection needs no rescan)
+    assert set(got.columns) == {"row_id", "cust", "payload"}
+
+    nf = null_fk_count(child, ["cust"]).collect()[0]
+    assert (nf.n_rows, nf.null_fk_rows) == (6, 1)
+
+
+def test_fk_orphans_composite_and_same_name_keys(spark):
+    child = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2), (2, "x", 3), (None, "x", 4)],
+        "k1 int, k2 string, v int",
+    )
+    parent = spark.createDataFrame([(1, "x"), (2, "x")], "k1 int, k2 string")
+    got = fk_orphans(child, parent, ["k1", "k2"])  # same-name form
+    assert [r.v for r in got.collect()] == [2]  # (1,'y') orphan; null-k1 exempt
+    # composite null rule: NULL in ANY key column exempts the row
+    nf = null_fk_count(child, ["k1", "k2"]).collect()[0]
+    assert nf.null_fk_rows == 1
+
+
+def test_fk_orphans_broadcast_parent_plan(spark):
+    child, parent = _frames(spark)
+    plan = fk_orphans(
+        child, parent, [("cust", "ckey")], broadcast_parent=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Broadcast" in plan, plan
+
+
+def test_fk_orphans_validates_columns(spark):
+    child, parent = _frames(spark)
+    with pytest.raises(ValueError, match="nope"):
+        fk_orphans(child, parent, [("nope", "ckey")])
+    with pytest.raises(ValueError, match="at least one"):
+        fk_orphans(child, parent, [])
+
+
+def test_check_referential_scores_reports_and_persists(spark, tmp_path):
+    child, parent = _frames(spark)
+    child.createOrReplaceTempView("ri_child")
+    parent.createOrReplaceTempView("ri_parent")
+    results = str(tmp_path / "results")
+    qc = QualityChecker(spark, results_table=results)
+
+    status, report, stats, details = qc.check_referential(
+        "ri_child", "ri_parent", [("cust", "ckey")]
+    )
+    assert status == "failed"
+    # 2 orphans / 5 scored (6 rows - 1 null fk) = 40%
+    assert stats == {
+        "n_rows": 6,
+        "null_fk_rows": 1,
+        "orphan_count": 2,
+        "orphan_pct": 40.0,
+        "final_score": 60.0,
+    }
+    # examples are distinct orphan KEY tuples, smallest first (the
+    # source_only_keys_examples convention), not full child rows
+    assert details == [{"cust": 98}, {"cust": 99}]
+    assert "orphans: 2" in report and "null-fk rows (not scored, ANSI): 1" in report
+
+    # tolerance turns the same data green
+    status2, _, _, _ = qc.check_referential(
+        "ri_child", "ri_parent", [("cust", "ckey")], tolerance_pct=40.0
+    )
+    assert status2 == "success"
+
+    audit = spark.read.parquet(results).filter("check_type = 'referential'")
+    assert audit.count() == 2
+    row = audit.filter("status = 'failed'").collect()[0]
+    assert row["stats_final_score"] == 60.0
+    assert json.loads(row["details_issue_breakdown_json"]) == [["cust->ckey", 2]]
+    exs = json.loads(row["details_source_only_keys_examples_json"])
+    assert exs == [[98], [99]]
+
+
+def test_check_referential_empty_child_passes_and_json(spark, tmp_path):
+    child, parent = _frames(spark)
+    child.where(F.lit(False)).createOrReplaceTempView("ri_empty")
+    parent.createOrReplaceTempView("ri_parent2")
+    qc = QualityChecker(spark)
+
+    status, report, stats, _ = qc.check_referential(
+        "ri_empty", "ri_parent2", [("cust", "ckey")]
+    )
+    # vacuous constraint: nothing violates it (unlike check_sequence,
+    # where an empty extract IS the failure) — report says so
+    assert status == "success" and stats["orphan_count"] == 0
+    assert "empty child table" in report
+
+    _, jreport, _, _ = qc.check_referential(
+        "ri_empty", "ri_parent2", [("cust", "ckey")],
+        report_output_format="json",
+    )
+    payload = json.loads(jreport)
+    assert payload["check_type"] == "referential"
+    assert payload["stats"]["final_score"] == 100.0
+
+
+def test_check_referential_all_null_fk_warns_in_report(spark):
+    child, parent = _frames(spark)
+    qc = QualityChecker(spark)
+    allnull = child.withColumn("cust", F.lit(None).cast("int"))
+    status, report, stats, _ = qc.check_referential(
+        allnull, parent, [("cust", "ckey")]
+    )
+    # ANSI says this passes — but the report flags the silent-null feed
+    assert status == "success" and stats["null_fk_rows"] == 6
+    assert "ALL fk values are null" in report
+
+
+def test_check_referential_error_wraps_to_failed(spark, tmp_path):
+    child, parent = _frames(spark)
+    results = str(tmp_path / "results")
+    qc = QualityChecker(spark, results_table=results)
+    status, report, stats, details = qc.check_referential(
+        child, parent, [("no_such", "ckey")]
+    )
+    assert status == "failed" and stats is None and details is None
+    assert "no such child column" in report
+    audit = spark.read.parquet(results)
+    assert audit.filter("check_type = 'referential'").count() == 1
+
+
+def test_check_referential_example_cap_and_determinism(spark):
+    child = spark.range(100).select(
+        F.col("id").alias("row_id"), (F.col("id") + 1000).alias("cust")
+    )
+    parent = spark.createDataFrame([(1, "p")], "ckey int, name string")
+    qc = QualityChecker(spark)
+    _, _, stats, details = qc.check_referential(
+        child, parent, [("cust", "ckey")], max_examples=7
+    )
+    assert stats["orphan_count"] == 100 and len(details) == 7
+    # deterministic: smallest keys first
+    assert [d["cust"] for d in details] == list(range(1000, 1007))

@@ -773,6 +773,172 @@ class QualityChecker:
             if gaps is not None:
                 gaps.unpersist()
 
+    def check_referential(
+        self,
+        source_table,
+        target_table,
+        foreign_keys: list,
+        check_name: str | None = None,
+        tolerance_pct: float = 0.0,
+        max_examples: int = 20,
+        broadcast_parent: bool = False,
+        report_output_format: str = "text",
+    ):
+        """Seventh check type: foreign-key referential integrity — child
+        rows (``source_table``) whose key has no match in the parent
+        (``target_table``). The reference's count comparison (core.py:520)
+        sees the SIZES disagree and its sample diff (core.py:1245) sees
+        matched rows disagree; neither answers "which child rows point at
+        a parent that does not exist" — the classic warehouse FK audit.
+
+        ``foreign_keys``: child column names (parent shares the name) or
+        ``(child_col, parent_col)`` pairs; composite keys = all together.
+        ANSI FK semantics: rows with a NULL in any fk column satisfy the
+        constraint and are excluded from scoring, but their count is
+        reported (``null_fk_rows``) so a feed whose FK silently went
+        all-null cannot pass unnoticed. Scores
+
+            orphan_pct  = orphans / non-null-fk rows * 100
+            final_score = 100 - orphan_pct (floored at 0)
+
+        and fails when ``orphan_pct > tolerance_pct``. An EMPTY child
+        table passes (no rows violate the constraint), unlike
+        check_sequence where emptiness IS the failure mode — the report
+        says so explicitly. ``broadcast_parent=True`` keeps the child
+        scan shuffle-free when the parent is dimension-sized (the plan a
+        100-TB fact table wants); otherwise one hash shuffle on the key,
+        with the parent pruned to its key columns.
+        """
+        run_id = uuid.uuid4().hex[:16]
+        timings = CheckRunTimings(run_started_at=CheckRunTimings.now())
+        orphan_frame = None
+        try:
+            from .operators.integrity import _normalize_keys, fk_orphans
+
+            fmt = validate_report_output_format(report_output_format)
+            pairs = _normalize_keys(foreign_keys)
+            child = self._resolve(source_table)
+            parent = self._resolve(target_table)
+            missing = [c for c, _ in pairs if c not in child.columns]
+            if missing:
+                raise MetadataError(f"no such child column: {missing}")
+            missing = [p for _, p in pairs if p not in parent.columns]
+            if missing:
+                raise MetadataError(f"no such parent column: {missing}")
+
+            null_pred = None
+            for c, _ in pairs:
+                clause = F.col(c).isNull()
+                null_pred = clause if null_pred is None else (null_pred | clause)
+            timings.mark_query_start("source")
+            stats_row = child.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(null_pred.cast("long")).alias("null_fk"),
+            ).collect()[0]
+            timings.mark_query_end("source")
+
+            timings.mark_dataset_check_start()
+            orphan_frame = fk_orphans(
+                child, parent, pairs, broadcast_parent=broadcast_parent
+            ).persist()
+            orphan_count = orphan_frame.count()
+            child_cols = [c for c, _ in pairs]
+            examples = [
+                tuple(r[c] for c in child_cols)
+                for r in orphan_frame.select(*child_cols)
+                .distinct()
+                .orderBy(*child_cols)
+                .limit(max_examples)
+                .collect()
+            ]
+            timings.mark_dataset_check_end()
+
+            n_rows = int(stats_row["n_rows"])
+            null_fk = int(stats_row["null_fk"] or 0)
+            scored = n_rows - null_fk
+            orphan_pct = orphan_count * 100.0 / scored if scored else 0.0
+            status = (
+                D.CHECK_SUCCESS if orphan_pct <= tolerance_pct else D.CHECK_FAILED
+            )
+            name = check_name or "check_referential"
+            key_desc = ", ".join(
+                c if c == p else f"{c}->{p}" for c, p in pairs
+            )
+            lines = [
+                f"referential check: {name} [{run_id}] -> {status}",
+                f"fk: ({key_desc})  child rows: {n_rows}  "
+                f"null-fk rows (not scored, ANSI): {null_fk}  "
+                f"orphans: {orphan_count}  orphan_pct: {orphan_pct:.4f}  "
+                f"tolerance: {tolerance_pct}",
+            ]
+            if not n_rows:
+                lines.append(
+                    "  empty child table: no rows can violate the constraint"
+                )
+            if null_fk == n_rows and n_rows:
+                lines.append(
+                    "  ALL fk values are null — constraint vacuously holds; "
+                    "verify the feed populated the key"
+                )
+            for ex in examples:
+                lines.append(f"  orphan key {ex}")
+            text_report = "\n".join(lines)
+            stats = {
+                "n_rows": n_rows,
+                "null_fk_rows": null_fk,
+                "orphan_count": int(orphan_count),
+                "orphan_pct": round(orphan_pct, 4),
+                "final_score": round(max(0.0, 100.0 - orphan_pct), 4),
+            }
+            details = [dict(zip(child_cols, ex)) for ex in examples]
+            audit_details = D.CheckDetails(
+                issue_breakdown=[(key_desc, int(orphan_count))],
+                issue_examples=[],
+                dup_source_keys_examples=(),
+                dup_target_keys_examples=(),
+                source_only_keys_examples=tuple(examples),
+                target_only_keys_examples=(),
+                evaluated_columns=child_cols,
+            )
+            report = text_report
+            if fmt == "json":
+                report = check_result_json(
+                    run_id=run_id, check_type="referential", status=status,
+                    check_name=name, report=text_report,
+                    source_table=source_table if isinstance(source_table, str) else None,
+                    target_table=target_table if isinstance(target_table, str) else None,
+                    timezone=self.timezone, stats=stats,
+                    details=details,
+                )
+            timings.finish_run()
+            self._persist(
+                run_id=run_id, check_type="referential", status=status,
+                check_name=name, source_table=source_table,
+                target_table=target_table,
+                report=text_report, timings=timings, details=audit_details,
+                stats_overrides={"final_score": stats["final_score"]},
+            )
+            self._track(status, source_table, target_table)
+            _LOG.info(
+                "check_referential run_id=%s status=%s orphan_pct=%.4f",
+                run_id, status, orphan_pct,
+            )
+            return status, report, stats, details
+        except Exception as exc:
+            report = f"check failed with error: {exc}"
+            timings.finish_run()
+            self._persist(
+                run_id=run_id, check_type="referential", status=D.CHECK_FAILED,
+                check_name=check_name or "check_referential",
+                source_table=source_table, target_table=target_table,
+                report=report, timings=timings,
+            )
+            self._track(D.CHECK_FAILED, source_table)
+            return D.CHECK_FAILED, report, None, None
+        finally:
+            if orphan_frame is not None:
+                orphan_frame.unpersist()
+
     def check_custom_queries(
         self,
         source_query: str,

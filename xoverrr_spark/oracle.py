@@ -202,6 +202,21 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
 """
 
 
+def fk_orphans_orders() -> str:
+    """Twin of q_fk_orphans_orders (checker.check_referential's engine):
+    ANSI FK semantics — NULL foreign keys satisfy the constraint, so the
+    orphan set is non-null child keys with no qualifying parent row. The
+    parent set is pre-filtered (positive-balance customers) so the fixture
+    yields a non-empty, deterministic orphan set at every SF."""
+    return """
+SELECT o_orderkey, o_custkey
+FROM orders o
+WHERE o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0)
+"""
+
+
 def top3_suppliers_per_nation() -> str:
     return """
 SELECT s_nationkey, s_suppkey, s_name, s_acctbal, rk FROM (
