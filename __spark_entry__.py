@@ -212,6 +212,17 @@ def q_fk_orphans_orders(spark, sf_dir):
     ).select("o_orderkey", "o_custkey")
 
 
+def q_freshness_events(spark, sf_dir):
+    """Source-freshness audit (the engine behind checker.check_freshness,
+    operators/profile.freshness): lag of the newest event vs a pinned
+    as_of — one max-aggregate scan, footer-stat cheap on partitioned
+    event tables."""
+    from xoverrr_spark.operators.profile import freshness
+
+    return freshness(_t(spark, sf_dir, "events"), "ts",
+                     as_of=oracle.FRESHNESS_AS_OF)
+
+
 def q_top3_suppliers(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
@@ -1419,9 +1430,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_events": q_grouping_sets,
         "histogram_orders": q_histogram_orders,
         "multimodal_near_dup_clusters": q_multimodal_near_dup_clusters,
-        # round-5 new check family (referential integrity) — straight
-        # into the driver window; id_gaps_orders (r4-green) rides the tail
+        # round-5 new check families (referential integrity, freshness) —
+        # straight into the driver window; id_gaps_orders and
+        # apply_changes_orders (both r4-green) ride the tail
         "fk_orphans_orders": q_fk_orphans_orders,
+        "freshness_events": q_freshness_events,
         # --- dedup chain ------------------------------------------------
         "exact_dedup_documents": q_exact_dedup,
         "exact_dedup_survivors_documents": q_exact_dedup_survivors,
@@ -1531,6 +1544,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_top10": oracle.revenue_top10(),
         "customers_without_orders": oracle.customers_without_orders(),
         "fk_orphans_orders": oracle.fk_orphans_orders(),
+        "freshness_events": oracle.freshness_events(),
         "top3_suppliers_per_nation": oracle.top3_suppliers_per_nation(),
         "langid_documents": oracle.langid_documents(),
         "token_stats_documents": oracle.token_stats_documents(),

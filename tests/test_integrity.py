@@ -1,6 +1,8 @@
-"""Referential-integrity check (seventh check type): fk_orphans operator
-semantics (ANSI null-FK handling, composite/renamed keys, broadcast plan)
-and the checker facade's scoring/report/audit/error paths."""
+"""Round-5 check families: referential integrity (seventh — fk_orphans
+operator semantics: ANSI null-FK handling, composite/renamed keys,
+broadcast plan) and source freshness (eighth — SLA lag scoring, unknown-
+staleness failure, future-timestamp flag), plus the facades'
+scoring/report/audit/error paths."""
 
 import json
 
@@ -155,6 +157,66 @@ def test_check_referential_error_wraps_to_failed(spark, tmp_path):
     assert "no such child column" in report
     audit = spark.read.parquet(results)
     assert audit.filter("check_type = 'referential'").count() == 1
+
+
+def test_check_freshness_sla_paths(spark, tmp_path):
+    """Eighth check type: source freshness vs a pinned as_of. Within-SLA
+    passes; over-SLA fails with a proportional score; empty/all-null ts
+    FAILS (staleness unknown != staleness zero); future max_ts passes
+    but is flagged."""
+    rows = spark.createDataFrame(
+        [(1, "2024-01-31 22:00:00"), (2, "2024-01-30 00:00:00"), (3, None)],
+        "id int, ts_s string",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    rows.createOrReplaceTempView("fresh_t")
+    results = str(tmp_path / "results")
+    qc = QualityChecker(spark, results_table=results)
+    as_of = "2024-02-01 00:00:00"
+
+    status, report, stats, details = qc.check_freshness(
+        "fresh_t", "ts", max_lag_hours=3.0, as_of=as_of)
+    assert status == "success"
+    assert stats["lag_seconds"] == 2 * 3600 and stats["final_score"] == 100.0
+    assert stats["null_ts_rows"] == 1 and details[0]["sla_seconds"] == 10800
+
+    # 2h lag against a 1h SLA: 100% over -> score 0, failed
+    status2, _, stats2, _ = qc.check_freshness(
+        "fresh_t", "ts", max_lag_hours=1.0, as_of=as_of)
+    assert status2 == "failed"
+    assert stats2["over_sla_pct"] == 100.0 and stats2["final_score"] == 0.0
+
+    # staleness unknown fails
+    rows.where("ts IS NULL").createOrReplaceTempView("fresh_null")
+    status3, report3, stats3, _ = qc.check_freshness(
+        "fresh_null", "ts", max_lag_hours=1.0, as_of=as_of)
+    assert status3 == "failed" and stats3["lag_seconds"] is None
+    assert "staleness UNKNOWN" in report3
+
+    # future max_ts: passes, flagged
+    status4, report4, stats4, _ = qc.check_freshness(
+        "fresh_t", "ts", max_lag_hours=1.0, as_of="2024-01-31 00:00:00")
+    assert status4 == "success" and stats4["lag_seconds"] < 0
+    assert "FUTURE" in report4
+
+    # malformed call raises (not a failed check); bad column wraps FAILED
+    with pytest.raises(ValueError):
+        qc.check_freshness("fresh_t", "ts", max_lag_hours=0)
+    status5, report5, _, _ = qc.check_freshness(
+        "fresh_t", "nope", max_lag_hours=1.0, as_of=as_of)
+    assert status5 == "failed" and "no such column" in report5
+
+    audit = spark.read.parquet(results).filter("check_type = 'freshness'")
+    assert audit.count() == 5
+    assert audit.filter("status = 'failed'").count() == 3
+
+    # default as_of = now(): lag vs 2024 data is huge -> failed; and the
+    # JSON envelope carries the stats block
+    status6, jreport, stats6, _ = qc.check_freshness(
+        "fresh_t", "ts", max_lag_hours=24.0, report_output_format="json")
+    assert status6 == "failed"
+    payload = json.loads(jreport)
+    assert payload["check_type"] == "freshness"
+    assert payload["stats"]["lag_seconds"] > 365 * 24 * 3600
 
 
 def test_check_referential_example_cap_and_determinism(spark):

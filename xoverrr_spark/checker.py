@@ -939,6 +939,120 @@ class QualityChecker:
             if orphan_frame is not None:
                 orphan_frame.unpersist()
 
+    def check_freshness(
+        self,
+        source_table,
+        ts_column: str,
+        max_lag_hours: float,
+        check_name: str | None = None,
+        as_of=None,
+        report_output_format: str = "text",
+    ):
+        """Eighth check type: source freshness — has the newest row landed
+        within the SLA ("did the feed stop" is the failure every downstream
+        consumer notices first and this engine could not previously ask).
+
+            lag      = as_of - max(ts)      (as_of defaults to now())
+            over_pct = max(0, (lag - sla) / sla * 100)
+            final_score = 100 - over_pct (floored at 0)
+
+        FAILS when lag exceeds ``max_lag_hours``. An empty table or an
+        all-null timestamp column FAILS outright: staleness UNKNOWN is not
+        staleness zero — the no-rows-landed feed is precisely the outage
+        this check exists to page on. A max(ts) in the FUTURE of ``as_of``
+        (negative lag: clock skew or corrupt event times) passes the SLA
+        but is flagged in the report. Pass an explicit ``as_of`` for
+        deterministic replay/tests; monitors omit it for wall-clock now.
+
+        One max-aggregate scan (operators.profile.freshness) — parquet
+        footer statistics make it near-free on time-partitioned tables.
+        """
+        if max_lag_hours <= 0:
+            raise ValueError("max_lag_hours must be positive")
+        run_id = uuid.uuid4().hex[:16]
+        timings = CheckRunTimings(run_started_at=CheckRunTimings.now())
+        try:
+            fmt = validate_report_output_format(report_output_format)
+            src = self._resolve(source_table)
+            if ts_column not in src.columns:
+                raise MetadataError(f"no such column: {ts_column}")
+            timings.mark_query_start("source")
+            timings.mark_dataset_check_start()
+            row = P.freshness(src, ts_column, as_of=as_of).collect()[0]
+            timings.mark_dataset_check_end()
+            timings.mark_query_end("source")
+
+            n_rows = int(row["n_rows"])
+            n_ts = int(row["n_ts"])
+            max_ts = row["max_ts"]
+            lag = row["lag_seconds"]
+            sla = max_lag_hours * 3600.0
+            name = check_name or "check_freshness"
+            if lag is None:
+                over_pct = 100.0
+                status = D.CHECK_FAILED
+            else:
+                over_pct = max(0.0, (lag - sla) / sla * 100.0)
+                status = D.CHECK_SUCCESS if lag <= sla else D.CHECK_FAILED
+            lines = [
+                f"freshness check: {name} [{run_id}] -> {status}",
+                f"rows: {n_rows} (null ts: {n_rows - n_ts})  "
+                f"max_ts: {max_ts}  lag_seconds: {lag}  "
+                f"sla_hours: {max_lag_hours}",
+            ]
+            if lag is None:
+                lines.append(
+                    "  no timestamped rows: staleness UNKNOWN — the feed "
+                    "has not landed; failing"
+                )
+            elif lag < 0:
+                lines.append(
+                    f"  max_ts is {-lag}s in the FUTURE of as_of — clock "
+                    "skew or corrupt event times; SLA passes but verify "
+                    "the producer"
+                )
+            text_report = "\n".join(lines)
+            stats = {
+                "n_rows": n_rows,
+                "null_ts_rows": n_rows - n_ts,
+                "lag_seconds": None if lag is None else int(lag),
+                "over_sla_pct": round(over_pct, 4),
+                "final_score": round(max(0.0, 100.0 - over_pct), 4),
+            }
+            details = [{"max_ts": str(max_ts) if max_ts is not None else None,
+                        "sla_seconds": int(sla)}]
+            report = text_report
+            if fmt == "json":
+                report = check_result_json(
+                    run_id=run_id, check_type="freshness", status=status,
+                    check_name=name, report=text_report,
+                    source_table=source_table if isinstance(source_table, str) else None,
+                    timezone=self.timezone, stats=stats, details=details,
+                )
+            timings.finish_run()
+            self._persist(
+                run_id=run_id, check_type="freshness", status=status,
+                check_name=name, source_table=source_table,
+                report=text_report, timings=timings,
+                stats_overrides={"final_score": stats["final_score"]},
+            )
+            self._track(status, source_table)
+            _LOG.info(
+                "check_freshness run_id=%s status=%s lag=%s", run_id, status, lag,
+            )
+            return status, report, stats, details
+        except Exception as exc:
+            report = f"check failed with error: {exc}"
+            timings.finish_run()
+            self._persist(
+                run_id=run_id, check_type="freshness", status=D.CHECK_FAILED,
+                check_name=check_name or "check_freshness",
+                source_table=source_table,
+                report=report, timings=timings,
+            )
+            self._track(D.CHECK_FAILED, source_table)
+            return D.CHECK_FAILED, report, None, None
+
     def check_custom_queries(
         self,
         source_query: str,

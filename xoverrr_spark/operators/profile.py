@@ -44,6 +44,34 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     return melted
 
 
+def freshness(df: DataFrame, ts_col: str, as_of=None) -> DataFrame:
+    """One row: (n_rows, n_ts, max_ts, lag_seconds) — how stale is the
+    newest row relative to ``as_of`` (a timestamp literal/Column; defaults
+    to ``current_timestamp()``).
+
+    The primitive behind ``checker.check_freshness`` (dbt-style source
+    freshness: "has this feed landed lately"). ``lag_seconds`` is null
+    when the table is empty or the column all-null — the caller decides
+    that that FAILS (staleness unknown is not staleness zero). Pass an
+    explicit ``as_of`` for deterministic replay (the DuckDB oracle twin
+    can't replay ``now()``); production monitors omit it.
+
+    Scale shape: a single max-aggregate — one scan, no shuffle beyond the
+    final single-row combine, and parquet footer max statistics make the
+    scan near-free on sorted/partitioned event tables.
+    """
+    if ts_col not in df.columns:
+        raise ValueError(f"no such column: {ts_col}")
+    ts = F.col(ts_col).cast("timestamp")
+    ref = F.current_timestamp() if as_of is None else F.lit(as_of).cast("timestamp")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(ts).alias("n_ts"),
+        F.max(ts).alias("max_ts"),
+        (ref.cast("long") - F.max(ts).cast("long")).alias("lag_seconds"),
+    )
+
+
 def quantiles(
     df: DataFrame, value_col: str, probs: list[float],
     group_cols: list[str] | None = None,

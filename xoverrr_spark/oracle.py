@@ -217,6 +217,26 @@ WHERE o_custkey IS NOT NULL
 """
 
 
+# deterministic "now" for the freshness twin (events span Jan 2024)
+FRESHNESS_AS_OF = "2024-02-01 00:00:00"
+
+
+def freshness_events() -> str:
+    """Twin of q_freshness_events (checker.check_freshness's engine):
+    staleness of the newest event vs a FIXED as_of. Both engines floor
+    each epoch to whole seconds BEFORE subtracting (Spark's
+    timestamp->long cast is integer micros // 1e6; epoch_us // 1000000
+    replays it), so lag_seconds is bit-identical."""
+    return f"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(ts) AS n_ts,
+       MAX(ts) AS max_ts,
+       (epoch_us(TIMESTAMP '{FRESHNESS_AS_OF}') // 1000000)
+         - (epoch_us(MAX(ts)) // 1000000) AS lag_seconds
+FROM events
+"""
+
+
 def top3_suppliers_per_nation() -> str:
     return """
 SELECT s_nationkey, s_suppkey, s_name, s_acctbal, rk FROM (
