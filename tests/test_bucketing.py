@@ -173,3 +173,29 @@ def test_bucketing_null_keys_and_empty_frames(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         for t in ("deg_a", "deg_b", "deg_a2", "deg_b2", "deg_e"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_fk_orphan_audit_on_cobucketed_tables_is_shuffle_free(spark, bucketed):
+    """The recurring-audit composition: check_referential's engine
+    (fk_orphans LeftAnti) over child/parent tables bucketed on the key
+    moves ZERO bytes — isNotNull filter and parent key projection both
+    preserve the bucketed distribution, so the nightly FK audit of a
+    100-TB fact table costs a co-located scan, not a shuffle."""
+    from xoverrr_spark.operators.integrity import fk_orphans
+
+    o, li, orders, lineitem = bucketed
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orphans = fk_orphans(li, o, ["o_orderkey"])
+        plan = _plan(orphans)
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+        assert "Exchange" not in plan, plan
+        # parity with the unbucketed frames
+        expected = fk_orphans(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), orders,
+            ["o_orderkey"],
+        ).count()
+        assert orphans.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
