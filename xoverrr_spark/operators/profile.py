@@ -60,10 +60,17 @@ def freshness(df: DataFrame, ts_col: str, as_of=None) -> DataFrame:
     final single-row combine, and parquet footer max statistics make the
     scan near-free on sorted/partitioned event tables.
     """
+    from pyspark.sql import Column
+
     if ts_col not in df.columns:
         raise ValueError(f"no such column: {ts_col}")
     ts = F.col(ts_col).cast("timestamp")
-    ref = F.current_timestamp() if as_of is None else F.lit(as_of).cast("timestamp")
+    if as_of is None:
+        ref = F.current_timestamp()
+    elif isinstance(as_of, Column):
+        ref = as_of.cast("timestamp")
+    else:
+        ref = F.lit(as_of).cast("timestamp")
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(ts).alias("n_ts"),

@@ -33,14 +33,18 @@ def get_spark(
     runs. Per-call knobs (``cores``/``shuffle_partitions``/``extra_conf``)
     therefore apply only when this call actually creates the session.
     """
-    active = SparkSession.getActiveSession()
-    if active is not None:
+    # getActiveSession is THREAD-local — a worker thread would see None
+    # and fall through to getOrCreate (which re-applies confs to the
+    # process-wide default session, the exact clobber this guard exists
+    # to stop) — so check the instantiated default session as well
+    existing = SparkSession.getActiveSession() or SparkSession._instantiatedSession
+    if existing is not None:
         try:
-            alive = not active.sparkContext._jsc.sc().isStopped()
+            alive = not existing.sparkContext._jsc.sc().isStopped()
         except Exception:
             alive = False
         if alive:
-            return active
+            return existing
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     if shuffle_partitions is None:
