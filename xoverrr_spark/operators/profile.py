@@ -56,26 +56,51 @@ def freshness(df: DataFrame, ts_col: str, as_of=None) -> DataFrame:
     explicit ``as_of`` for deterministic replay (the DuckDB oracle twin
     can't replay ``now()``); production monitors omit it.
 
-    Scale shape: a single max-aggregate — one scan, no shuffle beyond the
-    final single-row combine, and parquet footer max statistics make the
-    scan near-free on sorted/partitioned event tables.
+    Scale shape: a single max-aggregate — one scan, no shuffle beyond
+    the final single-row combine. For temporal/numeric columns the
+    aggregates run over the RAW column (cast applied AFTER the max —
+    equivalent because these casts are monotone and, under ANSI, never
+    null out a value), which keeps the aggregate eligible for parquet
+    AGGREGATE PUSHDOWN: with ``spark.sql.parquet.aggregatePushdown=true``
+    and parquet removed from ``spark.sql.sources.useV1SourceList``, a
+    DATE or epoch-BIGINT event-time column answers this check from file
+    FOOTERS alone — zero data pages read at any table size. Spark's
+    parquet reader does NOT push down TIMESTAMP max (any encoding;
+    pinned in tests/test_pushdown.py), so a 100-TB feed that wants
+    footer-only freshness should carry an epoch-seconds or date partner
+    column. String columns keep the cast-first path (lexicographic max
+    of strings is not the temporal max).
     """
     from pyspark.sql import Column
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
     if ts_col not in df.columns:
         raise ValueError(f"no such column: {ts_col}")
-    ts = F.col(ts_col).cast("timestamp")
     if as_of is None:
         ref = F.current_timestamp()
     elif isinstance(as_of, Column):
         ref = as_of.cast("timestamp")
     else:
         ref = F.lit(as_of).cast("timestamp")
+    dtype = df.schema[ts_col].dataType
+    if isinstance(dtype, (TimestampType, TimestampNTZType, DateType, NumericType)):
+        raw = F.col(ts_col)  # cast after the agg: pushdown-eligible
+        max_ts = F.max(raw).cast("timestamp")
+        n_ts = F.count(raw)
+    else:
+        ts = F.col(ts_col).cast("timestamp")
+        max_ts = F.max(ts)
+        n_ts = F.count(ts)
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.count(ts).alias("n_ts"),
-        F.max(ts).alias("max_ts"),
-        (ref.cast("long") - F.max(ts).cast("long")).alias("lag_seconds"),
+        n_ts.alias("n_ts"),
+        max_ts.alias("max_ts"),
+        (ref.cast("long") - max_ts.cast("long")).alias("lag_seconds"),
     )
 
 
