@@ -197,6 +197,27 @@ def q_customers_without_orders(spark, sf_dir):
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
+def q_salted_join_lineitem(spark, sf_dir):
+    """Explicit salted join (operators/salting.salted_join): the skew
+    mitigation for hot keys AQE's byte-based detection cannot see
+    (tests/test_skew_aqe.py third pin). Result-identical to the plain
+    join — the oracle runs the plain SQL."""
+    from xoverrr_spark.operators.salting import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_partkey", "p_partkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        salted_join(li, pt, ["p_partkey"], salt=8)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def q_fk_orphans_orders(spark, sf_dir):
     """Referential-integrity audit (the engine behind
     checker.check_referential, operators/integrity.fk_orphans): orders
@@ -1435,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # apply_changes_orders (both r4-green) ride the tail
         "fk_orphans_orders": q_fk_orphans_orders,
         "freshness_events": q_freshness_events,
+        "salted_join_lineitem": q_salted_join_lineitem,
         # --- dedup chain ------------------------------------------------
         "exact_dedup_documents": q_exact_dedup,
         "exact_dedup_survivors_documents": q_exact_dedup_survivors,
@@ -1545,6 +1567,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": oracle.customers_without_orders(),
         "fk_orphans_orders": oracle.fk_orphans_orders(),
         "freshness_events": oracle.freshness_events(),
+        "salted_join_lineitem": oracle.salted_join_lineitem(),
         "top3_suppliers_per_nation": oracle.top3_suppliers_per_nation(),
         "langid_documents": oracle.langid_documents(),
         "token_stats_documents": oracle.token_stats_documents(),

@@ -202,6 +202,21 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
 """
 
 
+def salted_join_lineitem() -> str:
+    """Twin of q_salted_join_lineitem: a salted join is RESULT-identical
+    to the plain join (each big row meets each small row of its key via
+    exactly one salt replica), so the oracle is the plain SQL join —
+    parity proves the salt/replicate/drop plumbing loses and duplicates
+    nothing."""
+    return """
+SELECT p.p_brand,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
 def fk_orphans_orders() -> str:
     """Twin of q_fk_orphans_orders (checker.check_referential's engine):
     ANSI FK semantics — NULL foreign keys satisfy the constraint, so the
