@@ -97,3 +97,30 @@ def test_salted_join_validation(spark):
         salted_join(big, small, ["nope"])
     with _pytest.raises(ValueError, match="reserved"):
         salted_join(big.withColumn("_salt", F.lit(1)), small, ["k"])
+
+
+def test_salted_join_map_columns_and_salt_cols(spark):
+    """MapType columns are unhashable in Spark — the default salt hash
+    must skip them; explicit salt_cols (the binary-payload escape hatch)
+    must be honored and validated."""
+    import pytest as _pytest
+    from collections import Counter
+    from xoverrr_spark.operators.salting import salted_join
+
+    big = spark.createDataFrame(
+        [(1, {"a": 1}, 10), (2, {"b": 2}, 20), (1, {"c": 3}, 30)],
+        "k bigint, m map<string,int>, v int")
+    small = spark.createDataFrame([(1, "x")], "k bigint, name string")
+
+    def norm(rows):  # map cells collect as (unhashable) dicts
+        return Counter(
+            tuple(tuple(sorted(c.items())) if isinstance(c, dict) else c
+                  for c in r)
+            for r in rows)
+
+    exp = norm(big.join(small, ["k"]).collect())
+    assert norm(salted_join(big, small, ["k"], salt=4).collect()) == exp
+    assert norm(salted_join(
+        big, small, ["k"], salt=4, salt_cols=["v"]).collect()) == exp
+    with _pytest.raises(ValueError, match="salt_cols"):
+        salted_join(big, small, ["k"], salt_cols=["nope"])

@@ -42,6 +42,7 @@ def salted_join(
     keys: list[str] | tuple[str, ...],
     salt: int = 16,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Join ``big`` to ``small`` on ``keys`` with the hot-key rows of
     ``big`` spread over ``salt`` shuffle partitions.
@@ -49,10 +50,17 @@ def salted_join(
     Left-side-preserving joins only (inner / left outer / semi / anti):
     the big side is salted, so every big row appears once; the small side
     is replicated per salt value, so right-preserving joins would count
-    each small-only row ``salt`` times. The salt is a deterministic hash
-    of the big row's columns — stable across task retries, and identical
-    rows co-locating is harmless (they'd share a partition under any
-    keying).
+    each small-only row ``salt`` times.
+
+    The salt MUST be a deterministic function of the row — a ``rand()``
+    salt re-rolls on task retries, and a partial stage recompute then
+    ships some rows under two different salts (the classic
+    nondeterministic-shuffle duplication/loss bug). Default: xxhash64
+    over every hashable column (MapType is unhashable in Spark and is
+    skipped). For rows carrying large binary payloads, pass
+    ``salt_cols`` (e.g. the id column) so the hash doesn't walk the
+    payload bytes; low-cardinality salt_cols merely spread less —
+    identical rows co-locating is harmless.
     """
     if salt < 2:
         raise ValueError(f"salt must be >= 2 (got {salt}); 1 is a plain join")
@@ -67,8 +75,20 @@ def salted_join(
     for side in (big, small):
         if _SALT in side.columns:
             raise ValueError(f"reserved column {_SALT!r} already present")
+    if salt_cols is not None:
+        missing = [c for c in salt_cols if c not in big.columns]
+        if missing or not salt_cols:
+            raise ValueError(f"salt_cols not found in big side: {missing}")
+        hash_cols = list(salt_cols)
+    else:
+        from pyspark.sql.types import MapType
+
+        hash_cols = [f.name for f in big.schema.fields
+                     if not isinstance(f.dataType, MapType)]
+        if not hash_cols:  # all-map row: fall back to the join keys
+            hash_cols = keys
     salted_big = big.withColumn(
-        _SALT, F.pmod(F.xxhash64(*big.columns), F.lit(salt)).cast("int"))
+        _SALT, F.pmod(F.xxhash64(*hash_cols), F.lit(salt)).cast("int"))
     replicated = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     return (
