@@ -231,3 +231,21 @@ def test_check_referential_example_cap_and_determinism(spark):
     assert stats["orphan_count"] == 100 and len(details) == 7
     # deterministic: smallest keys first
     assert [d["cust"] for d in details] == list(range(1000, 1007))
+
+
+def test_check_referential_date_scoping_child_only(spark):
+    """date_column/date_range scope the CHILD side only — the recurring
+    'yesterday's partitions vs the full parent' audit; scoping the
+    parent would fabricate orphans."""
+    child = spark.createDataFrame(
+        [(1, 10, "2024-01-01"), (2, 99, "2024-01-01"), (3, 99, "2024-01-05")],
+        "row_id int, cust int, d string",
+    ).select("row_id", "cust", F.col("d").cast("date").alias("d"))
+    parent = spark.createDataFrame([(10, "p")], "ckey int, name string")
+    qc = QualityChecker(spark)
+    _, _, stats, details = qc.check_referential(
+        child, parent, [("cust", "ckey")],
+        date_column="d", date_range=("2024-01-01", "2024-01-02"))
+    # only the two Jan-1 rows are scored; the Jan-5 orphan is out of scope
+    assert stats["n_rows"] == 2 and stats["orphan_count"] == 1
+    assert details == [{"cust": 99}]

@@ -782,6 +782,8 @@ class QualityChecker:
         tolerance_pct: float = 0.0,
         max_examples: int = 20,
         broadcast_parent: bool = False,
+        date_column: str | None = None,
+        date_range: tuple[str, str] | None = None,
         report_output_format: str = "text",
     ):
         """Seventh check type: foreign-key referential integrity — child
@@ -808,6 +810,12 @@ class QualityChecker:
         scan shuffle-free when the parent is dimension-sized (the plan a
         100-TB fact table wants); otherwise one hash shuffle on the key,
         with the parent pruned to its key columns.
+
+        ``date_column``/``date_range`` scope the CHILD side only (the
+        recurring-audit pattern: yesterday's fact partitions against the
+        FULL parent — scoping the parent too would manufacture orphans
+        out of rows whose parent simply landed on another day); same
+        inclusive-day semantics as the other check families.
         """
         run_id = uuid.uuid4().hex[:16]
         timings = CheckRunTimings(run_started_at=CheckRunTimings.now())
@@ -817,7 +825,8 @@ class QualityChecker:
 
             fmt = validate_report_output_format(report_output_format)
             pairs = _normalize_keys(foreign_keys)
-            child = self._resolve(source_table)
+            child = self._date_filter(
+                self._resolve(source_table), date_column, date_range)
             parent = self._resolve(target_table)
             missing = [c for c, _ in pairs if c not in child.columns]
             if missing:
