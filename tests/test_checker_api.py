@@ -624,3 +624,55 @@ def test_check_sequence_out_of_range_keys_not_scored(spark, tmp_path):
     assert st["missing_total"] == 10 and st["out_of_range_keys"] == 1007
     assert "no keys inside expected span" in rep
     assert tp[-1]["gap_start"] == 2000 and tp[-1]["gap_end"] == 2009
+
+
+def test_run_suite_declarative_checks(spark, tmp_path):
+    """Suite runner: one declarative list -> per-check results + summary;
+    config errors fail their entry without killing the suite."""
+    from pyspark.sql import functions as F
+    from xoverrr_spark.checker import QualityChecker
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99)], "row_id int, cust int")
+    parent = spark.createDataFrame([(10, "p")], "ckey int, name string")
+    fresh = spark.createDataFrame(
+        [("2024-01-31 23:00:00",)], "ts_s string"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"))
+    child.createOrReplaceTempView("suite_child")
+    parent.createOrReplaceTempView("suite_parent")
+    fresh.createOrReplaceTempView("suite_fresh")
+
+    qc = QualityChecker(spark, results_table=str(tmp_path / "results"))
+    summary = qc.run_suite([
+        {"type": "freshness", "source_table": "suite_fresh",
+         "ts_column": "ts", "max_lag_hours": 2.0,
+         "as_of": "2024-02-01 00:00:00", "check_name": "fresh_ok"},
+        {"type": "referential", "source_table": "suite_child",
+         "target_table": "suite_parent",
+         "foreign_keys": [("cust", "ckey")], "check_name": "fk_bad"},
+        {"type": "nope", "check_name": "bad_type"},
+        {"type": "freshness", "source_table": "suite_fresh",
+         "ts_column": "ts", "max_lag_hours": 0,  # malformed call raises
+         "check_name": "bad_args"},
+    ])
+    assert summary["checked"] == 4
+    assert summary["success"] == 1 and summary["failed"] == 3
+    assert summary["suite_status"] == "failed"
+    by_name = {r["name"]: r for r in summary["checks"]}
+    assert by_name["fresh_ok"]["status"] == "success"
+    assert by_name["fresh_ok"]["final_score"] == 100.0
+    assert by_name["fk_bad"]["status"] == "failed"
+    assert by_name["fk_bad"]["final_score"] == 50.0  # 1 orphan / 2 rows
+    assert "unknown check type" in by_name["bad_type"]["error"]
+    assert "max_lag_hours" in by_name["bad_args"]["error"]
+    # the two real checks persisted audit rows; config errors did not
+    audit = spark.read.parquet(str(tmp_path / "results"))
+    assert audit.count() == 2
+
+    # an all-green suite reports success
+    ok = qc.run_suite([
+        {"type": "freshness", "source_table": "suite_fresh",
+         "ts_column": "ts", "max_lag_hours": 2.0,
+         "as_of": "2024-02-01 00:00:00"},
+    ])
+    assert ok["suite_status"] == "success" and ok["failed"] == 0

@@ -1269,3 +1269,76 @@ class QualityChecker:
             )
             self._track(D.CHECK_FAILED)
             return D.CHECK_FAILED, report, None, None
+
+    # ------------------------------------------------------------- suite --
+
+    #: config ``type`` -> method name, the eight check families
+    SUITE_TYPES = {
+        "samples": "check_samples",
+        "counts": "check_counts",
+        "custom": "check_custom_queries",
+        "sniff": "check_sniff_query",
+        "profile_drift": "check_profile_drift",
+        "sequence": "check_sequence",
+        "referential": "check_referential",
+        "freshness": "check_freshness",
+    }
+
+    def run_suite(self, checks: list[dict]) -> dict:
+        """Run a declarative list of checks — the orchestrator-facing
+        surface (one Airflow/cron task = one suite; the reference drives
+        its four check types one call at a time, core.py:117-749, and
+        every production deployment immediately wraps that in a loop).
+
+        Each entry: ``{"type": <SUITE_TYPES key>, "name": optional,
+        **kwargs for the check method}``. Config errors (unknown type,
+        bad kwargs) FAIL that entry and keep going — a 40-check nightly
+        suite must not die on entry 3; every failure is still visible in
+        the summary and each check's own audit row persists as usual.
+
+        Returns ``{"checks": [{name, type, status, final_score}...],
+        "checked", "success", "failed", "skipped", "suite_status"}`` —
+        suite_status is ``failed`` if ANY check failed.
+        """
+        results = []
+        for i, spec in enumerate(checks):
+            spec = dict(spec)
+            ctype = spec.pop("type", None)
+            name = spec.get("check_name") or f"{ctype or 'unknown'}_{i}"
+            method = self.SUITE_TYPES.get(ctype)
+            if method is None:
+                _LOG.error("run_suite: unknown check type %r", ctype)
+                results.append({"name": name, "type": ctype,
+                                "status": D.CHECK_FAILED, "final_score": None,
+                                "error": f"unknown check type: {ctype!r}"})
+                continue
+            try:
+                status, _report, stats, _details = getattr(self, method)(**spec)
+            except Exception as exc:  # malformed CALL (arg validation)
+                _LOG.error("run_suite: %s raised: %s", name, exc)
+                results.append({"name": name, "type": ctype,
+                                "status": D.CHECK_FAILED, "final_score": None,
+                                "error": str(exc)})
+                continue
+            score = None
+            if stats is not None:
+                if isinstance(stats, dict):
+                    score = stats.get("final_score")
+                else:
+                    score = getattr(stats, "final_score", None)
+            results.append({"name": name, "type": ctype, "status": status,
+                            "final_score": score})
+        counts = {
+            s: sum(1 for r in results if r["status"] == s)
+            for s in (D.CHECK_SUCCESS, D.CHECK_FAILED, D.CHECK_SKIPPED)
+        }
+        return {
+            "checks": results,
+            "checked": len(results),
+            "success": counts[D.CHECK_SUCCESS],
+            "failed": counts[D.CHECK_FAILED],
+            "skipped": counts[D.CHECK_SKIPPED],
+            "suite_status": (
+                D.CHECK_FAILED if counts[D.CHECK_FAILED] else D.CHECK_SUCCESS
+            ),
+        }
