@@ -244,6 +244,17 @@ def q_freshness_events(spark, sf_dir):
                      as_of=oracle.FRESHNESS_AS_OF)
 
 
+def q_freshness_by_type_events(spark, sf_dir):
+    """Per-group source freshness (checker.check_freshness group_by mode,
+    operators/profile.freshness_by_group): staleness per event_type —
+    the global max hides a dead feed behind a healthy one."""
+    from xoverrr_spark.operators.profile import freshness_by_group
+
+    return freshness_by_group(
+        _t(spark, sf_dir, "events"), "ts", ["event_type"],
+        as_of=oracle.FRESHNESS_AS_OF)
+
+
 def q_top3_suppliers(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
@@ -1456,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # apply_changes_orders (both r4-green) ride the tail
         "fk_orphans_orders": q_fk_orphans_orders,
         "freshness_events": q_freshness_events,
+        "freshness_by_type_events": q_freshness_by_type_events,
         "salted_join_lineitem": q_salted_join_lineitem,
         # --- dedup chain ------------------------------------------------
         "exact_dedup_documents": q_exact_dedup,
@@ -1567,6 +1579,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": oracle.customers_without_orders(),
         "fk_orphans_orders": oracle.fk_orphans_orders(),
         "freshness_events": oracle.freshness_events(),
+        "freshness_by_type_events": oracle.freshness_by_type_events(),
         "salted_join_lineitem": oracle.salted_join_lineitem(),
         "top3_suppliers_per_nation": oracle.top3_suppliers_per_nation(),
         "langid_documents": oracle.langid_documents(),

@@ -249,3 +249,66 @@ def test_check_referential_date_scoping_child_only(spark):
     # only the two Jan-1 rows are scored; the Jan-5 orphan is out of scope
     assert stats["n_rows"] == 2 and stats["orphan_count"] == 1
     assert details == [{"cust": 99}]
+
+
+def test_check_freshness_grouped_catches_dead_source(spark, tmp_path):
+    """Per-group freshness: one dead source among healthy ones passes the
+    GLOBAL check (the gap) and fails the grouped one, with the stalest
+    groups localized; null group keys form their own group; empty input
+    fails."""
+    rows = spark.createDataFrame(
+        [
+            ("a", "2024-01-31 23:00:00"),
+            ("a", "2024-01-31 20:00:00"),
+            ("b", "2024-01-20 00:00:00"),   # dead since Jan 20
+            (None, "2024-01-31 22:00:00"),  # null-source feed: own group
+        ],
+        "src string, ts_s string",
+    ).select("src", F.col("ts_s").cast("timestamp").alias("ts"))
+    rows.createOrReplaceTempView("gfresh")
+    results = str(tmp_path / "results")
+    qc = QualityChecker(spark, results_table=results)
+    as_of = "2024-02-01 00:00:00"
+
+    # the global check is blind to the dead source
+    g_status, _, g_stats, _ = qc.check_freshness(
+        "gfresh", "ts", max_lag_hours=24.0, as_of=as_of)
+    assert g_status == "success" and g_stats["lag_seconds"] == 3600
+
+    status, report, stats, details = qc.check_freshness(
+        "gfresh", "ts", max_lag_hours=24.0, as_of=as_of, group_by=["src"])
+    assert status == "failed"
+    assert stats["n_groups"] == 3 and stats["stale_groups"] == 1
+    assert stats["worst_lag_seconds"] == 12 * 86400
+    assert stats["final_score"] == 0.0  # 12 days over a 1-day SLA
+    # stalest group first, localized
+    assert details[0]["src"] == "b" and details[0]["lag_seconds"] == 12 * 86400
+    assert "[src=b]" in report
+    # the null-source feed is its own (fresh) group
+    assert any(d["src"] is None and d["lag_seconds"] == 7200 for d in details)
+
+    # all groups fresh -> success
+    ok_status, _, ok_stats, _ = qc.check_freshness(
+        "gfresh", "ts", max_lag_hours=24.0 * 15, as_of=as_of,
+        group_by=["src"])
+    assert ok_status == "success" and ok_stats["stale_groups"] == 0
+
+    # empty table: zero groups, staleness unknown, fails
+    rows.where(F.lit(False)).createOrReplaceTempView("gfresh_empty")
+    e_status, e_report, e_stats, _ = qc.check_freshness(
+        "gfresh_empty", "ts", max_lag_hours=1.0, as_of=as_of,
+        group_by=["src"])
+    assert e_status == "failed" and e_stats["n_groups"] == 0
+    assert "no groups" in e_report
+
+    # bad group column wraps to FAILED; empty group_by raises (bad CALL)
+    b_status, b_report, _, _ = qc.check_freshness(
+        "gfresh", "ts", max_lag_hours=1.0, as_of=as_of, group_by=["nope"])
+    assert b_status == "failed" and "nope" in b_report
+    with pytest.raises(ValueError, match="group_by"):
+        qc.check_freshness("gfresh", "ts", max_lag_hours=1.0, group_by=[])
+
+    # five persisted runs (the empty-group_by ValueError is a malformed
+    # CALL — raises before the try, no audit row by design)
+    audit = spark.read.parquet(results).filter("check_type = 'freshness'")
+    assert audit.count() == 5

@@ -948,6 +948,126 @@ class QualityChecker:
             if orphan_frame is not None:
                 orphan_frame.unpersist()
 
+    def _check_freshness_grouped(
+        self, src, ts_column, max_lag_hours, as_of, group_by,
+        max_examples, check_name, source_table, run_id, timings, fmt,
+    ):
+        """Grouped leg of check_freshness (see its docstring). Only the
+        ``max_examples`` stalest groups and a 3-counter aggregate reach
+        the driver — group cardinality is feed identity, but nothing
+        here assumes it is small."""
+        sla = max_lag_hours * 3600.0
+        name = check_name or "check_freshness"
+        grouped = None
+        try:
+            timings.mark_query_start("source")
+            timings.mark_dataset_check_start()
+            grouped = P.freshness_by_group(
+                src, ts_column, group_by, as_of=as_of).persist()
+            stale_pred = (
+                F.col("lag_seconds").isNull()
+                | (F.col("lag_seconds") > F.lit(sla))
+            )
+            agg = grouped.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum(stale_pred.cast("long")).alias("stale"),
+                F.max("lag_seconds").alias("worst_lag"),
+                F.sum(F.when(F.col("lag_seconds").isNull(), 1)
+                      .otherwise(0)).alias("unknown"),
+            ).collect()[0]
+            worst = [
+                r.asDict() for r in grouped
+                .orderBy(F.col("lag_seconds").desc_nulls_first(), *group_by)
+                .limit(max_examples).collect()
+            ]
+            timings.mark_dataset_check_end()
+            timings.mark_query_end("source")
+
+            n_groups = int(agg["n_groups"])
+            stale = int(agg["stale"] or 0)
+            unknown = int(agg["unknown"] or 0)
+            worst_lag = agg["worst_lag"]
+            if n_groups == 0 or unknown:
+                over_pct = 100.0
+            elif worst_lag is None:
+                over_pct = 100.0
+            else:
+                over_pct = max(0.0, (worst_lag - sla) / sla * 100.0)
+            status = (
+                D.CHECK_SUCCESS if n_groups > 0 and stale == 0
+                else D.CHECK_FAILED
+            )
+            lines = [
+                f"freshness check: {name} [{run_id}] -> {status}",
+                f"groups by ({', '.join(group_by)}): {n_groups}  "
+                f"stale: {stale} (no-timestamp: {unknown})  "
+                f"worst_lag_seconds: {worst_lag}  sla_hours: {max_lag_hours}",
+            ]
+            if n_groups == 0:
+                lines.append(
+                    "  no groups: the table is empty — staleness UNKNOWN; "
+                    "failing")
+            for r in worst:
+                gid = ", ".join(f"{g}={r[g]}" for g in group_by)
+                lines.append(
+                    f"  [{gid}] lag_seconds={r['lag_seconds']} "
+                    f"max_ts={r['max_ts']} rows={r['n_rows']}")
+            text_report = "\n".join(lines)
+            stats = {
+                "n_groups": n_groups,
+                "stale_groups": stale,
+                "unknown_groups": unknown,
+                "worst_lag_seconds":
+                    None if worst_lag is None else int(worst_lag),
+                "over_sla_pct": round(over_pct, 4),
+                "final_score": round(max(0.0, 100.0 - over_pct), 4),
+            }
+            details = [
+                {**{g: r[g] for g in group_by},
+                 "n_rows": r["n_rows"], "n_ts": r["n_ts"],
+                 "max_ts": str(r["max_ts"]) if r["max_ts"] is not None else None,
+                 "lag_seconds": r["lag_seconds"]}
+                for r in worst
+            ]
+            audit_details = D.CheckDetails(
+                issue_breakdown=[
+                    (", ".join(str(r[g]) for g in group_by),
+                     int(r["lag_seconds"]) if r["lag_seconds"] is not None
+                     else -1)
+                    for r in worst
+                ],
+                issue_examples=[],
+                dup_source_keys_examples=(),
+                dup_target_keys_examples=(),
+                source_only_keys_examples=(),
+                target_only_keys_examples=(),
+                evaluated_columns=[ts_column, *group_by],
+            )
+            report = text_report
+            if fmt == "json":
+                report = check_result_json(
+                    run_id=run_id, check_type="freshness", status=status,
+                    check_name=name, report=text_report,
+                    source_table=source_table if isinstance(source_table, str) else None,
+                    timezone=self.timezone, stats=stats, details=details,
+                )
+            timings.finish_run()
+            self._persist(
+                run_id=run_id, check_type="freshness", status=status,
+                check_name=name, source_table=source_table,
+                report=text_report, timings=timings, details=audit_details,
+                stats_overrides={"final_score": stats["final_score"]},
+            )
+            self._track(status, source_table)
+            _LOG.info(
+                "check_freshness run_id=%s status=%s groups=%d stale=%d",
+                run_id, status, n_groups, stale,
+            )
+            return status, report, stats, details
+        finally:
+            if grouped is not None:
+                grouped.unpersist()
+
     def check_freshness(
         self,
         source_table,
@@ -955,6 +1075,8 @@ class QualityChecker:
         max_lag_hours: float,
         check_name: str | None = None,
         as_of=None,
+        group_by: list[str] | None = None,
+        max_examples: int = 20,
         report_output_format: str = "text",
     ):
         """Eighth check type: source freshness — has the newest row landed
@@ -973,11 +1095,22 @@ class QualityChecker:
         but is flagged in the report. Pass an explicit ``as_of`` for
         deterministic replay/tests; monitors omit it for wall-clock now.
 
-        One max-aggregate scan (operators.profile.freshness) — parquet
-        footer statistics make it near-free on time-partitioned tables.
+        ``group_by`` scores freshness PER GROUP (per source/feed/
+        partition key): a multi-source table passes the global check as
+        long as ANY source still lands rows — the global max hides a
+        dead partner behind a healthy one. Grouped mode fails if any
+        group is over the SLA (or has no timestamped rows), reports the
+        ``max_examples`` stalest groups, and scores over_pct from the
+        WORST group's lag.
+
+        One max-aggregate scan either way (operators.profile.freshness /
+        freshness_by_group) — parquet footer statistics make it
+        near-free on time-partitioned tables.
         """
         if max_lag_hours <= 0:
             raise ValueError("max_lag_hours must be positive")
+        if group_by is not None and not group_by:
+            raise ValueError("group_by must be a non-empty list when given")
         run_id = uuid.uuid4().hex[:16]
         timings = CheckRunTimings(run_started_at=CheckRunTimings.now())
         try:
@@ -985,6 +1118,12 @@ class QualityChecker:
             src = self._resolve(source_table)
             if ts_column not in src.columns:
                 raise MetadataError(f"no such column: {ts_column}")
+            if group_by is not None:
+                return self._check_freshness_grouped(
+                    src, ts_column, max_lag_hours, as_of, group_by,
+                    max_examples, check_name, source_table, run_id,
+                    timings, fmt,
+                )
             timings.mark_query_start("source")
             timings.mark_dataset_check_start()
             row = P.freshness(src, ts_column, as_of=as_of).collect()[0]

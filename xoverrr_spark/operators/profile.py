@@ -104,6 +104,56 @@ def freshness(df: DataFrame, ts_col: str, as_of=None) -> DataFrame:
     )
 
 
+def freshness_by_group(
+    df: DataFrame, ts_col: str, group_cols: list[str], as_of=None,
+) -> DataFrame:
+    """Per-group freshness: (group_cols..., n_rows, n_ts, max_ts,
+    lag_seconds), one row per group — the check the GLOBAL max cannot do.
+
+    A multi-source feed passes a global-max freshness check as long as
+    ANY source still lands rows: the global max hides a dead partner
+    behind a healthy one. Grouping by the source/partition key surfaces
+    exactly which feed stalled. One hash-aggregate scan (map-side
+    combine: one max per group per mapper); groups are feed identities,
+    so cardinality is small and the shuffle negligible. Same monotone
+    raw-column aggregation as :func:`freshness` (cast after the max),
+    so DATE/epoch columns keep their footer/statistics friendliness.
+    """
+    from pyspark.sql import Column
+
+    if ts_col not in df.columns:
+        raise ValueError(f"no such column: {ts_col}")
+    missing = [g for g in group_cols if g not in df.columns]
+    if missing or not group_cols:
+        raise ValueError(f"group columns not found: {missing}")
+    if as_of is None:
+        ref = F.current_timestamp()
+    elif isinstance(as_of, Column):
+        ref = as_of.cast("timestamp")
+    else:
+        ref = F.lit(as_of).cast("timestamp")
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    dtype = df.schema[ts_col].dataType
+    if isinstance(dtype, (TimestampType, TimestampNTZType, DateType, NumericType)):
+        col = F.col(ts_col)
+        max_ts = F.max(col).cast("timestamp")
+    else:
+        col = F.col(ts_col).cast("timestamp")
+        max_ts = F.max(col)
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(col).alias("n_ts"),
+        max_ts.alias("max_ts"),
+        (ref.cast("long") - max_ts.cast("long")).alias("lag_seconds"),
+    )
+
+
 def quantiles(
     df: DataFrame, value_col: str, probs: list[float],
     group_cols: list[str] | None = None,

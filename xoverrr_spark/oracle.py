@@ -252,6 +252,23 @@ FROM events
 """
 
 
+def freshness_by_type_events() -> str:
+    """Twin of q_freshness_by_type_events (check_freshness group_by mode):
+    per-group staleness — the check whose GLOBAL form is blind to one
+    dead feed hiding behind a healthy one. Same floor-to-seconds epoch
+    replay as freshness_events, per event_type."""
+    return f"""
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(ts) AS n_ts,
+       MAX(ts) AS max_ts,
+       (epoch_us(TIMESTAMP '{FRESHNESS_AS_OF}') // 1000000)
+         - (epoch_us(MAX(ts)) // 1000000) AS lag_seconds
+FROM events
+GROUP BY event_type
+"""
+
+
 def top3_suppliers_per_nation() -> str:
     return """
 SELECT s_nationkey, s_suppkey, s_name, s_acctbal, rk FROM (
