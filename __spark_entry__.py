@@ -1421,6 +1421,17 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_dup_shingle_fraction(spark, sf_dir):
+    """Cross-corpus duplicated n-gram fraction per doc (dedup.
+    dup_shingle_fraction): the MassiveText-style corpus-level repetition
+    signal — doc-freq agg + membership left join on near-uniform 40-bit
+    shingle hashes, no self-join. Oracle replays the identical shingle
+    fold and the same single int/int double division."""
+    from xoverrr_spark.operators.dedup import dup_shingle_fraction
+
+    return dup_shingle_fraction(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 # -------------------------------------------------------------- contract ----
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1492,6 +1503,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap_hash_documents": q_source_cap_hash,
         "source_keep_rate_documents": q_source_keep_rate,
         "repetition_stats_documents": q_repetition_stats,
+        # round-5 batch-4: cross-corpus duplicated-ngram fraction — new,
+        # straight into the driver window (embedding_bucket_stats, r4-green,
+        # slides to the tail side of the cut)
+        "dup_shingle_fraction_documents": q_dup_shingle_fraction,
         "boilerplate_lines_documents": q_boilerplate_lines,
         "mixture_sample_documents": q_mixture_sample,
         "pack_documents": q_pack_documents,
@@ -1500,13 +1515,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- embeddings -------------------------------------------------
         "ann_topk_embeddings": q_ann_topk,
         "embedding_near_dup_pairs": q_embedding_near_dups,
+        # ================= driver gate cut-off (50) =====================
+        # (the cut-off marker above sat four rows too low until round-5
+        # batch-4 — recounted; everything below here is r4-green
+        # driver-verified or locally swept every round)
         "embedding_bucket_stats": q_embedding_bucket_stats,
         # --- time series / CDC / completeness ---------------------------
         "asof_events": q_asof_events,
         "range_count_events": q_range_count_events,
         "apply_changes_orders": q_apply_changes,
         "id_gaps_orders": q_id_gaps,
-        # ================= driver gate cut-off (50) =====================
         # demoted this round (driver-verified green in CORRECTNESS_r04):
         "counts_crossfill_events": q_counts_crossfill,
         "count_mismatch_days": q_count_mismatch,
@@ -1620,6 +1638,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_near_dup_clusters": oracle.multimodal_near_dup_clusters(),
         "boilerplate_lines_documents": oracle.boilerplate_lines_documents(),
         "repetition_stats_documents": oracle.repetition_stats_documents(),
+        "dup_shingle_fraction_documents": oracle.dup_shingle_fraction_documents(),
         "range_count_events": oracle.range_count_events(),
         "quality_top_fraction_documents": oracle.quality_top_fraction_documents(),
         "mixture_sample_documents": oracle.mixture_sample_documents(),

@@ -645,3 +645,71 @@ def test_zero_vector_never_ranks_first(spark):
            cosine_topk(df, df.filter("vec_id = 'q'"), k=2).collect()}
     assert got["good"][0] == 1
     assert got["dead"][0] == 2 and got["dead"][1] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# dup_shingle_fraction — cross-corpus duplicated n-gram fraction
+# ---------------------------------------------------------------------------
+
+def test_dup_shingle_fraction_closed_form(spark):
+    """Mini corpus with one shared trigram: d1/d2 share exactly 'a b c'
+    (half of each doc's two distinct trigrams), d3 is fully unique."""
+    from xoverrr_spark.operators.dedup import dup_shingle_fraction
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "q w e r")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in dup_shingle_fraction(df, "doc_id", "text").collect()}
+    assert got[1].n_shingles == 2 and got[1].n_dup_shingles == 1
+    assert got[1].dup_fraction == 0.5 and got[2].dup_fraction == 0.5
+    assert got[3].dup_fraction == 0.0 and got[3].n_dup_shingles == 0
+    # raising the doc-frequency floor above the corpus multiplicity
+    # zeroes every fraction
+    got3 = {r.doc_id: r.dup_fraction
+            for r in dup_shingle_fraction(df, "doc_id", "text", min_docs=3).collect()}
+    assert got3 == {1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_dup_shingle_fraction_extremes(docs):
+    """Exact/ws-case triplicate docs score 1.0 (every shingle in 3 docs);
+    the unique doc scores 0.0; the near dup lands strictly between; the
+    2-word doc participates via its single 0-padded shingle."""
+    from xoverrr_spark.operators.dedup import dup_shingle_fraction, release_intermediates
+
+    out = dup_shingle_fraction(docs, "doc_id", "text")
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].dup_fraction == got[2].dup_fraction == got[3].dup_fraction == 1.0
+    assert got[5].dup_fraction == 0.0
+    assert 0.0 < got[4].dup_fraction < 1.0
+    assert got[6].n_shingles == 1 and got[6].dup_fraction == 0.0
+    # the internally-built shingle table is persisted and releasable
+    assert release_intermediates(out) == 1
+
+
+def test_dup_shingle_fraction_prebuilt_and_nulls(spark):
+    """A prebuilt shingle table yields identical results (and attaches no
+    intermediate — the caller owns its cache). Degenerate texts follow the
+    shingle_table sentinel contract: the two null texts share shingle 0 and
+    score 1.0 against each other (exact_dedup's null-grouping policy); a
+    lone blank text folds md5('') and stays unique."""
+    from xoverrr_spark.operators.dedup import (
+        dup_shingle_fraction, release_intermediates, shingle_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, None), (4, None), (5, "   ")],
+        "doc_id int, text string",
+    )
+    sh = shingle_table(df, "doc_id", "text").persist()
+    try:
+        pre = dup_shingle_fraction(df, "doc_id", "text", shingles=sh)
+        own = dup_shingle_fraction(df, "doc_id", "text")
+        rows_pre = sorted(pre.collect())
+        assert rows_pre == sorted(own.collect())
+        got = {r.doc_id: r.dup_fraction for r in rows_pre}
+        assert got == {1: 0.5, 2: 0.5, 3: 1.0, 4: 1.0, 5: 0.0}
+        assert release_intermediates(pre) == 0
+        assert release_intermediates(own) == 1
+    finally:
+        sh.unpersist()

@@ -132,9 +132,15 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     the 0-padding reads past the array end.
 
     Documents with fewer than n words yield ONE shingle folding the
-    available hashes with 0-padding (they still participate in dedup);
-    null texts yield none. The DuckDB oracle replays the identical
-    integer fold (oracle._SHINGLES_CTE).
+    available hashes with 0-padding (they still participate in dedup).
+    That INCLUDES degenerate texts — a NULL text folds a null word array
+    to shingle 0 (``greatest`` skips the null size, so the gram sequence
+    is [1]) and empty/whitespace-only texts fold the md5('') word hash —
+    so all null-text docs shingle-match each other, as do all blank docs
+    (verified identical in both engines; consistent with exact_dedup's
+    sentinel policy of grouping null texts as duplicates of each other).
+    The DuckDB oracle replays the identical integer fold
+    (oracle._SHINGLES_CTE).
     """
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     with_wh = df.select(
@@ -462,6 +468,69 @@ def ngram_jaccard(
             (F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
         )
     )
+
+
+def dup_shingle_fraction(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = 3, min_docs: int = 2,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document CROSS-corpus duplicated n-gram fraction — the
+    MassiveText/RefinedWeb "duplicate n-gram" quality signal (Rae et al.
+    2021 §A1.2 applies it within documents via ``repetition_stats``; the
+    corpus-level variant flags docs largely assembled from text that also
+    appears elsewhere: mirrored articles, templated spam, quote farms).
+
+    Returns ``(doc_id, n_shingles, n_dup_shingles, dup_fraction)`` where
+    ``dup_fraction`` is the share of the doc's DISTINCT word n-grams that
+    occur in at least ``min_docs`` documents corpus-wide. Every doc
+    participates — degenerate texts fold to a single sentinel shingle
+    (``shingle_table`` contract: null texts share shingle 0, blank texts
+    share the md5('') fold), so two null-text docs score 1.0 against each
+    other, consistent with exact_dedup's null-grouping policy.
+
+    Plan shape at corpus scale: the shingle table is persisted once and
+    feeds BOTH the doc-frequency aggregation and the join-back (Spark
+    never reuses a self-referencing exchange — same reason as
+    ``candidate_jaccard``). The frequency side is filtered to shingles
+    with doc-freq >= ``min_docs`` BEFORE the join, so the shuffled build
+    side carries only the (typically rare) duplicated shingles, and the
+    left join marks membership — the 40-bit hash keys are near-uniform,
+    so both shuffles are skew-free. No self-join, no window, no
+    driver-side state. The fraction is a single int/int double division
+    (correctly rounded — bit-identical in the DuckDB oracle twin,
+    oracle.dup_shingle_fraction_documents). Pass a prebuilt PERSISTED
+    ``shingles`` table to share the explode+md5 map stage with a dedup
+    pipeline that already built one.
+
+    Extends the reference's row-level rule battery (sniff predicates,
+    /root/reference/src/xoverrr/utils.py:262) with a corpus-statistics
+    rule a single-node engine has no analogue for.
+    """
+    own = None
+    if shingles is None:
+        own = shingle_table(df, id_col, text_col, n).persist()
+        shingles = own
+    dup = (
+        shingles.groupBy("shingle_hash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .drop("_df")
+        .withColumn("_dup", F.lit(1))
+    )
+    out = (
+        shingles.join(dup, "shingle_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_shingles"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("n_dup_shingles").cast("double") / F.col("n_shingles"),
+        )
+    )
+    return _attach_intermediates(out, [own])
 
 
 SIMHASH_BANDS = 4  # pigeonhole: hamming <= 3 pairs share at least one band

@@ -540,6 +540,27 @@ WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {threshold}
 """
 
 
+def dup_shingle_fraction_documents(min_docs: int = 2) -> str:
+    """Twin of dedup.dup_shingle_fraction: share of each doc's distinct
+    word n-grams that occur in >= min_docs documents corpus-wide. Replays
+    the identical shingle fold (_SHINGLES_CTE); the fraction is the same
+    single int/int double division (exact operands, correctly rounded —
+    bit-identical across engines). SUM cast to BIGINT (DuckDB sums ints
+    into HUGEINT, which would schema-mismatch Spark's bigint)."""
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+dup AS (SELECT x FROM sh GROUP BY x HAVING COUNT(*) >= {min_docs})
+SELECT s.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN d.x IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_shingles,
+       CAST(SUM(CASE WHEN d.x IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_fraction
+FROM sh s LEFT JOIN dup d ON s.x = d.x
+GROUP BY s.doc_id
+"""
+
+
 def minhash_near_dups_documents(
     num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
 ) -> str:
