@@ -1201,6 +1201,161 @@ class QualityChecker:
             self._track(D.CHECK_FAILED, source_table)
             return D.CHECK_FAILED, report, None, None
 
+    def check_uniqueness(
+        self,
+        source_table,
+        key_columns: list[str],
+        check_name: str | None = None,
+        max_duplicate_pct: float = 0.0,
+        max_examples: int = 20,
+        date_column: str | None = None,
+        date_range: tuple[str, str] | None = None,
+        report_output_format: str = "text",
+    ):
+        """Ninth check type: single-table key uniqueness — is ``key_columns``
+        actually a primary key? The reference only meets duplicate keys as
+        a side effect inside its two-table sample diff (it drops them with
+        ``keep='first'``, utils.py:457, and reports the drop); every
+        warehouse also needs the standalone question answered per table,
+        before any comparison runs.
+
+            duplicate_pct = excess_rows / n_rows * 100
+            final_score   = 100 - duplicate_pct (floored at 0)
+
+        where ``excess_rows`` counts rows beyond the first per duplicated
+        key — exactly how many rows an exact dedup would remove. Fails
+        when ``duplicate_pct > max_duplicate_pct``. NULL-containing key
+        tuples group together like any other value (groupBy is null-safe
+        by construction) and their row count is reported separately
+        (``null_key_rows``) — an all-null key column that collapses the
+        table into one giant "duplicate" group is a feed bug the report
+        must name, not hide. An EMPTY table passes vacuously (no pair of
+        rows collides) and the report says so.
+
+        Scale shape: ONE groupBy shuffle on the key builds the per-key
+        count frame (operators/integrity.key_duplication); the summary
+        stats, the null-key count, and the worst-offender examples all
+        derive from that persisted frame — the base table is scanned
+        once, and only ``max_examples`` rows reach the driver.
+        ``date_column``/``date_range`` scope the scan for recurring
+        partition audits (inclusive-day semantics, as everywhere).
+        """
+        if not key_columns:
+            # malformed CALL, not a failed check: raise before the
+            # FAILED-wrapper try (run_suite records it as a config error)
+            raise ValueError("at least one key column is required")
+        run_id = uuid.uuid4().hex[:16]
+        timings = CheckRunTimings(run_started_at=CheckRunTimings.now())
+        grouped = None
+        try:
+            from .operators.integrity import (
+                duplicate_key_examples, duplicate_key_stats, key_duplication,
+            )
+
+            fmt = validate_report_output_format(report_output_format)
+            src = self._date_filter(
+                self._resolve(source_table), date_column, date_range)
+
+            timings.mark_query_start("source")
+            timings.mark_dataset_check_start()
+            grouped = key_duplication(src, key_columns).persist()
+            stats_row = duplicate_key_stats(grouped, key_columns).collect()[0]
+            examples = [
+                tuple(r[c] for c in key_columns) + (int(r["row_count"]),)
+                for r in duplicate_key_examples(
+                    grouped, key_columns, max_examples).collect()
+            ]
+            timings.mark_dataset_check_end()
+            timings.mark_query_end("source")
+
+            n_rows = int(stats_row["n_rows"] or 0)
+            n_keys = int(stats_row["n_keys"])
+            dup_keys = int(stats_row["duplicate_keys"] or 0)
+            excess = int(stats_row["excess_rows"] or 0)
+            null_key_rows = int(stats_row["null_key_rows"] or 0)
+            dup_pct = excess * 100.0 / n_rows if n_rows else 0.0
+            status = (
+                D.CHECK_SUCCESS if dup_pct <= max_duplicate_pct
+                else D.CHECK_FAILED
+            )
+            name = check_name or "check_uniqueness"
+            key_desc = ", ".join(key_columns)
+            lines = [
+                f"uniqueness check: {name} [{run_id}] -> {status}",
+                f"key: ({key_desc})  rows: {n_rows}  distinct keys: {n_keys}  "
+                f"duplicated keys: {dup_keys}  excess rows: {excess}  "
+                f"duplicate_pct: {dup_pct:.4f}  tolerance: {max_duplicate_pct}",
+            ]
+            if not n_rows:
+                lines.append(
+                    "  empty table: no pair of rows can collide — vacuous pass"
+                )
+            if null_key_rows:
+                lines.append(
+                    f"  {null_key_rows} rows carry a NULL in the key — they "
+                    "group per null tuple; verify the feed populated the key"
+                )
+            for ex in examples:
+                lines.append(f"  dup key {ex[:-1]} x{ex[-1]}")
+            text_report = "\n".join(lines)
+            stats = {
+                "n_rows": n_rows,
+                "n_keys": n_keys,
+                "duplicate_keys": dup_keys,
+                "excess_rows": excess,
+                "null_key_rows": null_key_rows,
+                "duplicate_pct": round(dup_pct, 4),
+                "final_score": round(max(0.0, 100.0 - dup_pct), 4),
+            }
+            details = [
+                dict(zip(list(key_columns) + ["row_count"], ex))
+                for ex in examples
+            ]
+            audit_details = D.CheckDetails(
+                issue_breakdown=[(key_desc, excess)],
+                issue_examples=[],
+                dup_source_keys_examples=tuple(ex[:-1] for ex in examples),
+                dup_target_keys_examples=(),
+                source_only_keys_examples=(),
+                target_only_keys_examples=(),
+                evaluated_columns=list(key_columns),
+            )
+            report = text_report
+            if fmt == "json":
+                report = check_result_json(
+                    run_id=run_id, check_type="uniqueness", status=status,
+                    check_name=name, report=text_report,
+                    source_table=source_table if isinstance(source_table, str) else None,
+                    timezone=self.timezone, stats=stats, details=details,
+                )
+            timings.finish_run()
+            self._persist(
+                run_id=run_id, check_type="uniqueness", status=status,
+                check_name=name, source_table=source_table,
+                report=text_report, timings=timings, details=audit_details,
+                stats_overrides={"final_score": stats["final_score"]},
+            )
+            self._track(status, source_table)
+            _LOG.info(
+                "check_uniqueness run_id=%s status=%s duplicate_pct=%.4f",
+                run_id, status, dup_pct,
+            )
+            return status, report, stats, details
+        except Exception as exc:
+            report = f"check failed with error: {exc}"
+            timings.finish_run()
+            self._persist(
+                run_id=run_id, check_type="uniqueness", status=D.CHECK_FAILED,
+                check_name=check_name or "check_uniqueness",
+                source_table=source_table,
+                report=report, timings=timings,
+            )
+            self._track(D.CHECK_FAILED, source_table)
+            return D.CHECK_FAILED, report, None, None
+        finally:
+            if grouped is not None:
+                grouped.unpersist()
+
     def check_custom_queries(
         self,
         source_query: str,
@@ -1411,7 +1566,7 @@ class QualityChecker:
 
     # ------------------------------------------------------------- suite --
 
-    #: config ``type`` -> method name, the eight check families
+    #: config ``type`` -> method name, the nine check families
     SUITE_TYPES = {
         "samples": "check_samples",
         "counts": "check_counts",
@@ -1421,6 +1576,7 @@ class QualityChecker:
         "sequence": "check_sequence",
         "referential": "check_referential",
         "freshness": "check_freshness",
+        "uniqueness": "check_uniqueness",
     }
 
     def run_suite(self, checks: list[dict]) -> dict:

@@ -77,6 +77,66 @@ def fk_orphans(
     return non_null.join(pkeys, cond, "left_anti")
 
 
+def key_duplication(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-key row counts — the shared frame behind the uniqueness check
+    (``(key_cols..., row_count)``, one row per distinct key tuple).
+
+    The reference treats duplicate keys as a side effect inside its
+    sample diff (it silently drops them with ``keep='first'``,
+    /root/reference/src/xoverrr/utils.py:457); this engine's diff
+    operator already surfaces them per comparison (operators/diff.py),
+    and this operator promotes the question "is this column set actually
+    a primary key?" to a standalone single-table audit.
+
+    One groupBy shuffle; NULL keys group together per tuple (groupBy is
+    null-safe by construction — the null-key discipline's preferred
+    shape). Callers that derive both stats and examples should persist
+    the returned frame (two consumers, and Spark never reuses an
+    exchange across separate actions).
+    """
+    missing = [c for c in key_cols if c not in df.columns]
+    if not key_cols:
+        raise ValueError("at least one key column is required")
+    if missing:
+        raise ValueError(f"key columns not found: {missing}")
+    return df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("row_count")
+    )
+
+
+def duplicate_key_stats(grouped: DataFrame, key_cols: list[str]) -> DataFrame:
+    """One-row uniqueness summary over a ``key_duplication`` frame:
+    total rows, distinct keys, duplicated keys, excess rows (rows beyond
+    the first per duplicated key — exactly how many a dedup would drop),
+    and rows whose key tuple contains a NULL (counted from the SAME
+    aggregated frame — no second scan of the base table)."""
+    cnt = F.col("row_count")
+    null_pred = None
+    for c in key_cols:
+        clause = F.col(c).isNull()
+        null_pred = clause if null_pred is None else (null_pred | clause)
+    return grouped.agg(
+        F.sum(cnt).alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(cnt > 1, 1).otherwise(0)).alias("duplicate_keys"),
+        F.sum(F.when(cnt > 1, cnt - 1).otherwise(0)).alias("excess_rows"),
+        F.sum(F.when(null_pred, cnt).otherwise(0)).alias("null_key_rows"),
+    )
+
+
+def duplicate_key_examples(
+    grouped: DataFrame, key_cols: list[str], limit: int
+) -> DataFrame:
+    """Worst duplicated key tuples, deterministic order (count desc, then
+    key asc — ties never reorder across runs). TakeOrderedAndProject, not
+    a global sort: only ``limit`` rows ever reach the driver."""
+    return (
+        grouped.filter(F.col("row_count") > 1)
+        .orderBy(F.desc("row_count"), *key_cols)
+        .limit(limit)
+    )
+
+
 def null_fk_count(child: DataFrame, keys: list) -> DataFrame:
     """One row: count of child rows with a NULL in ANY fk column —
     the rows ``fk_orphans`` excludes by ANSI semantics, surfaced so a
