@@ -262,3 +262,69 @@ def test_silence_ratio_signal(spark):
     assert got["half"] == (4, 0.5)
     assert got["mute"] == (4, 1.0)
     assert got["dead"][0] == 0 and got["dead"][1] is None
+
+
+def test_sharpness_closed_form(spark):
+    """Hand-computed Laplacian variance on a 3x4 grey image with one hot
+    pixel: interior Laplacians are {-1020, 255} -> var = 637.5^2."""
+    from xoverrr_spark.codecs.png import encode_png
+    from xoverrr_spark.operators.multimodal import sharpness_stats
+
+    hot = np.zeros((3, 4, 3), dtype=np.uint8)
+    hot[1, 1, :] = 255          # luma 255 (0.299+0.587+0.114 = 1.0)
+    flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+    half = np.zeros((8, 8, 3), dtype=np.uint8)
+    half[:, 4:, :] = 255        # half black / half white
+    tiny = np.zeros((2, 2, 3), dtype=np.uint8)  # no interior
+    rows = [(n, bytearray(encode_png(p)), "png")
+            for n, p in [("hot", hot), ("flat", flat),
+                         ("half", half), ("tiny", tiny)]]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {r.image_id: r for r in sharpness_stats(df).collect()}
+    assert all(got[k].ok for k in ("hot", "flat", "half", "tiny"))
+    assert got["hot"].sharpness == 637.5 ** 2
+    assert got["flat"].sharpness == 0.0 and got["flat"].entropy == 0.0
+    assert got["half"].entropy == 1.0   # two equiprobable luma values
+    assert got["half"].sharpness > 0.0
+    assert got["tiny"].sharpness is None and got["tiny"].entropy == 0.0
+
+
+def test_sharpness_orders_blur_and_handles_bad_bytes(spark):
+    """A box-blurred copy of a noise image must score LOWER variance (the
+    blur-detector property the filter relies on); corrupt/null payloads
+    become error rows."""
+    from xoverrr_spark.codecs.png import encode_png
+    from xoverrr_spark.operators.multimodal import sharpness_stats
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    k = np.ones((3, 3)) / 9.0
+    blurred = np.empty_like(noise)
+    pad = np.pad(noise.astype(np.float64), ((1, 1), (1, 1), (0, 0)), mode="edge")
+    for c in range(3):
+        acc = np.zeros((16, 16))
+        for dy in range(3):
+            for dx in range(3):
+                acc += k[dy, dx] * pad[dy:dy + 16, dx:dx + 16, c]
+        blurred[:, :, c] = np.clip(acc, 0, 255).astype(np.uint8)
+    rows = [("sharp", bytearray(encode_png(noise)), "png"),
+            ("blur", bytearray(encode_png(blurred)), "png"),
+            ("corrupt", bytearray(b"nope"), "png"),
+            ("nullbytes", None, "png")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {r.image_id: r for r in sharpness_stats(df).collect()}
+    assert got["sharp"].sharpness > 2 * got["blur"].sharpness
+    assert got["corrupt"].ok is False and got["corrupt"].sharpness is None
+    assert got["nullbytes"].ok is False
+
+
+def test_sharpness_over_fixture(spark):
+    from xoverrr_spark.operators.multimodal import sharpness_stats
+
+    df = images_df(spark, 50, 11)
+    out = sharpness_stats(df).toPandas()
+    assert len(out) == 50 and out["ok"].all()
+    # fixture images are random noise >= 8x8: every one has an interior
+    # and non-degenerate histograms
+    assert out["sharpness"].notna().all() and (out["sharpness"] > 0).all()
+    assert ((out["entropy"] > 0) & (out["entropy"] <= 8.0)).all()

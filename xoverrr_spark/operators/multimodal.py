@@ -62,6 +62,68 @@ def decode_stats(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes", "fmt").mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
+SHARPNESS_SCHEMA = (
+    "image_id string, ok boolean, sharpness double, entropy double"
+)
+
+
+def sharpness_stats(df: DataFrame) -> DataFrame:
+    """Per-image blur/information signals for an image quality filter:
+
+    - ``sharpness`` — variance of the 4-neighbour Laplacian over the ITU-R
+      601 luma (the classic blur detector: defocused/up-scaled images
+      have weak second derivatives everywhere, so the variance collapses;
+      a constant image scores exactly 0.0). Images with no interior
+      (h < 3 or w < 3) score null — there is no Laplacian to take.
+    - ``entropy`` — Shannon entropy (bits) of the 256-bin luma histogram:
+      near-zero for flat/synthetic fills, ~8 for dense natural images.
+      Single-colour images score exactly 0.0.
+
+    Vectorized numpy per Arrow batch inside ``mapInPandas`` (the Laplacian
+    is four shifted-slice adds — no python per-pixel loop), no shuffle;
+    cost parallelizes with the input splits like every decode op here.
+    Null/corrupt payloads become error rows (ok=false), never task
+    crashes. Complements the caption-side rule battery (the reference's
+    row-level sniff predicates, /root/reference/src/xoverrr/utils.py:262)
+    with pixel-side drop signals the reference has no analogue for; like
+    compute_phash this is pixel-level, so correctness is pinned by
+    closed-form pytest goldens rather than a DuckDB oracle twin.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = decode_image(bytes(blob), fmt).astype(np.float64)
+                    luma = px @ np.array([0.299, 0.587, 0.114])
+                    if luma.shape[0] >= 3 and luma.shape[1] >= 3:
+                        lap = (
+                            luma[:-2, 1:-1] + luma[2:, 1:-1]
+                            + luma[1:-1, :-2] + luma[1:-1, 2:]
+                            - 4.0 * luma[1:-1, 1:-1]
+                        )
+                        sharp = float(lap.var())
+                    else:
+                        sharp = None
+                    counts = np.bincount(
+                        np.clip(luma, 0, 255).astype(np.int64).reshape(-1),
+                        minlength=256,
+                    )
+                    p = counts[counts > 0] / counts.sum()
+                    ent = float(-(p * np.log2(p)).sum())
+                    recs.append((iid, True, sharp, ent))
+                except (ValueError, NotImplementedError, TypeError):
+                    recs.append((iid, False, None, None))
+            yield pd.DataFrame(
+                recs, columns=["image_id", "ok", "sharpness", "entropy"]
+            )
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(
+        batches, SHARPNESS_SCHEMA
+    )
+
+
 PSNR_SCHEMA = "image_id string, fmt string, psnr double, lossless boolean"
 
 
