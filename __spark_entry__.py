@@ -484,6 +484,18 @@ def q_decontaminate(spark, sf_dir):
     return contaminated_docs(d, bench, "doc_id", "text")
 
 
+def q_contamination_scores(spark, sf_dir):
+    """Fractional benchmark-overlap decontamination (dedup.
+    contamination_scores): broadcast benchmark shingle set, corpus-side
+    one pass — distinguishes a doc quoting one benchmark sentence from
+    the benchmark page itself, where contaminated_docs only flags."""
+    from xoverrr_spark.operators.dedup import contamination_scores
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % oracle.DECONTAM_BENCH_MOD == 0)
+    return contamination_scores(d, bench, "doc_id", "text")
+
+
 def q_apply_changes(spark, sf_dir):
     """CDC merge of a derived change feed (updates %5, deletes %7,
     inserts %11 offset) into orders — single-shuffle window merge."""
@@ -1507,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # straight into the driver window (embedding_bucket_stats, r4-green,
         # slides to the tail side of the cut)
         "dup_shingle_fraction_documents": q_dup_shingle_fraction,
+        "contamination_scores_documents": q_contamination_scores,
         "boilerplate_lines_documents": q_boilerplate_lines,
         "mixture_sample_documents": q_mixture_sample,
         "pack_documents": q_pack_documents,
@@ -1514,11 +1527,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_top_fraction_documents": q_quality_top_fraction,
         # --- embeddings -------------------------------------------------
         "ann_topk_embeddings": q_ann_topk,
-        "embedding_near_dup_pairs": q_embedding_near_dups,
         # ================= driver gate cut-off (50) =====================
-        # (the cut-off marker above sat four rows too low until round-5
-        # batch-4 — recounted; everything below here is r4-green
-        # driver-verified or locally swept every round)
+        # (the cut-off marker sat four rows too low until round-5 batch-4
+        # — recounted, then contamination_scores slid it one more row;
+        # everything below here is r4-green driver-verified or locally
+        # swept every round)
+        "embedding_near_dup_pairs": q_embedding_near_dups,
         "embedding_bucket_stats": q_embedding_bucket_stats,
         # --- time series / CDC / completeness ---------------------------
         "asof_events": q_asof_events,
@@ -1639,6 +1653,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_lines_documents": oracle.boilerplate_lines_documents(),
         "repetition_stats_documents": oracle.repetition_stats_documents(),
         "dup_shingle_fraction_documents": oracle.dup_shingle_fraction_documents(),
+        "contamination_scores_documents": oracle.contamination_scores_documents(),
         "range_count_events": oracle.range_count_events(),
         "quality_top_fraction_documents": oracle.quality_top_fraction_documents(),
         "mixture_sample_documents": oracle.mixture_sample_documents(),

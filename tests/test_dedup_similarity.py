@@ -713,3 +713,24 @@ def test_dup_shingle_fraction_prebuilt_and_nulls(spark):
         assert release_intermediates(own) == 1
     finally:
         sh.unpersist()
+
+
+def test_contamination_scores_closed_form(spark):
+    """d1 IS a benchmark doc (1.0); d2 quotes half of it (0.5); d3 is
+    clean (0.0) — the fractional signal contaminated_docs cannot give."""
+    from xoverrr_spark.operators.dedup import contaminated_docs, contamination_scores
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "q w e r")],
+        "doc_id int, text string",
+    )
+    bench = corpus.filter("doc_id = 1")
+    got = {r.doc_id: r for r in
+           contamination_scores(corpus, bench, "doc_id", "text").collect()}
+    assert got[1].contamination == 1.0
+    assert got[2].contamination == 0.5 and got[2].n_bench_shingles == 1
+    assert got[3].contamination == 0.0 and got[3].n_shingles == 2
+    # binary flag agrees with fraction > 0
+    flagged = {r.doc_id for r in
+               contaminated_docs(corpus, bench, "doc_id", "text").collect()}
+    assert flagged == {d for d, r in got.items() if r.contamination > 0}

@@ -694,6 +694,51 @@ def contaminated_docs(
     )
 
 
+def contamination_scores(
+    df: DataFrame, benchmark: DataFrame, id_col: str, text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Fractional decontamination scoring: per document, the share of its
+    distinct word n-grams that appear anywhere in the benchmark corpus —
+    ``(doc_id, n_shingles, n_bench_shingles, contamination)``.
+
+    ``contaminated_docs`` answers the binary question (ANY shared
+    shingle — the conservative "remove it" policy); real curation
+    recipes also threshold FRACTIONAL overlap so a doc quoting one
+    benchmark sentence is distinguishable from a doc that IS the
+    benchmark page with ads around it. A caller filters
+    ``contamination >= t`` for the policy it wants; 0.0 rows are kept so
+    the output is a per-doc feature, not a flag list.
+
+    Same scale shape as ``contaminated_docs``: the benchmark's distinct
+    shingle set broadcasts (benchmarks are thousands of rows, the corpus
+    is billions), so the corpus side is one explode + broadcast left
+    join + one groupBy on doc_id — the corpus text rows themselves never
+    shuffle, only (doc_id, counters) pairs with map-side partial
+    aggregation. The fraction is a single int/int double division
+    (correctly rounded — bit-identical in the DuckDB twin,
+    oracle.contamination_scores_documents).
+    """
+    bench_sh = (
+        shingle_table(benchmark, id_col, text_col, shingle_n)
+        .select("shingle_hash").distinct()
+        .withColumn("_b", F.lit(1))
+    )
+    doc_sh = shingle_table(df, id_col, text_col, shingle_n)
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_b"), F.lit(0))).alias("n_bench_shingles"),
+        )
+        .withColumn(
+            "contamination",
+            F.col("n_bench_shingles").cast("double") / F.col("n_shingles"),
+        )
+    )
+
+
 def cluster_survivors(
     labels: DataFrame, scores: DataFrame,
     id_col: str = "doc_id", score_col: str = "quality_score",

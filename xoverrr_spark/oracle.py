@@ -752,6 +752,26 @@ SELECT DISTINCT doc_id FROM sh SEMI JOIN bench USING (x)
 """
 
 
+def contamination_scores_documents() -> str:
+    """Twin of dedup.contamination_scores with the synthetic benchmark
+    subset (doc_id % DECONTAM_BENCH_MOD == 0): per-doc fraction of
+    distinct 3-gram shingles appearing anywhere in the benchmark. Same
+    fold, same single int/int double division; SUM cast to BIGINT
+    (HUGEINT would schema-mismatch Spark)."""
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+bench AS (SELECT DISTINCT x FROM sh WHERE doc_id % {DECONTAM_BENCH_MOD} = 0)
+SELECT s.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN b.x IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bench_shingles,
+       CAST(SUM(CASE WHEN b.x IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS contamination
+FROM sh s LEFT JOIN bench b ON s.x = b.x
+GROUP BY s.doc_id
+"""
+
+
 def cluster_survivors_documents(max_hamming: int = 3) -> str:
     """Twin of dedup.cluster_survivors over the simhash near-dup clusters:
     per cluster keep the max-quality_score member, ties to min doc_id."""
