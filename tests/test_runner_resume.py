@@ -179,3 +179,23 @@ def test_runner_cli_ppl_artifact_matches_embedded_scorer(spark, tmp_path):
     b = (spark.read.parquet(f"{out_b}/decisions").select(cols).toPandas()
          .sort_values("image_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_image_stats_metrics_written(spark, tmp_path):
+    """--image-stats writes per-bucket pixel-side quality aggregates;
+    a payload-less input is a config error, not a silent no-op."""
+    images = images_df(spark, 200, 7)
+    out = tmp_path / "istats"
+    run_pipeline(spark, images, str(out), n_buckets=2, image_stats=True)
+    m = spark.read.parquet(f"{out}/metrics_image").toPandas()
+    assert len(m) == 2  # one aggregate row per bucket
+    assert m["n_images"].sum() == 200
+    assert (m["n_decode_failed"] == 0).all()
+    assert (m["mean_sharpness"] > 0).all() and (m["mean_entropy"] > 0).all()
+    assert set(m.columns) >= {"n_images", "n_decode_failed", "mean_sharpness",
+                              "min_sharpness", "mean_entropy", "run_id"}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="payload"):
+        run_pipeline(spark, images.drop("bytes"), str(tmp_path / "x"),
+                     n_buckets=2, image_stats=True)

@@ -27,6 +27,7 @@ Directory layout under ``output_dir``::
 
     decisions/bucket=<i>/   part-*.parquet   (image_id, lang, ..., keep)
     metrics/bucket=<i>/     per-reason issue counts
+    metrics_image/bucket=<i>/  pixel-side quality aggregates (--image-stats)
     lineage/bucket=<i>/     one row per completed bucket run
     _checkpoints/bucket_<i>.json             completion marker (atomic rename)
 
@@ -87,6 +88,7 @@ def _run_bucket(
     write_kept: bool = False,
     ppl_udf_override=None,
     files_per_bucket: int | None = None,
+    image_stats: bool = False,
 ) -> dict:
     """One bucket's unit of work: filter -> salt -> pipeline -> decisions +
     metrics + lineage + completion marker. Safe to run concurrently with
@@ -154,6 +156,31 @@ def _run_bucket(
         os.path.join(output_dir, "metrics_lang", f"bucket={b}"),
         target_files=1,
     )
+    if image_stats:
+        # pixel-side quality metrics (the caption filter never decodes
+        # pixels, so this is the bucket's only decode pass unless the
+        # phash pre-stage ran): decode-failure count + sharpness/entropy
+        # aggregates per bucket — the observability a 10^12-image feed
+        # needs to catch a corrupted shard or a blur regression per
+        # partition, not per run
+        from ..operators.multimodal import sharpness_stats
+
+        istats = (
+            sharpness_stats(part)
+            .agg(
+                F.count(F.lit(1)).alias("n_images"),
+                F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_decode_failed"),
+                F.avg("sharpness").alias("mean_sharpness"),
+                F.min("sharpness").alias("min_sharpness"),
+                F.avg("entropy").alias("mean_entropy"),
+            )
+            .withColumn("run_id", F.lit(run_id))
+        )
+        write_parquet_sized(
+            istats,
+            os.path.join(output_dir, "metrics_image", f"bucket={b}"),
+            target_files=1,
+        )
     counts = dec_out.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("keep"), 1)).alias("n_keep"),
@@ -256,6 +283,7 @@ def run_pipeline(
     image_dedup_hamming: int = 2,
     ppl_udf_override=None,
     files_per_bucket: int | None = None,
+    image_stats: bool = False,
     _fail_after_bucket: int | None = None,
 ) -> dict:
     """Run the quality filter bucket-by-bucket with checkpointed resume.
@@ -268,6 +296,13 @@ def run_pipeline(
     per-bucket lineage). ``_fail_after_bucket`` injects a crash after that
     bucket completes (kill/resume tests only).
     """
+    if image_stats:
+        missing = [c for c in ("bytes", "fmt") if c not in images.columns]
+        if missing:
+            raise ValueError(
+                f"image_stats needs the binary payload columns {missing} "
+                "(a decisions-only input has no pixels to score)"
+            )
     run_id = build_run_id()
     if salt_partitions is None:
         salt_partitions = spark.sparkContext.defaultParallelism
@@ -300,6 +335,7 @@ def run_pipeline(
                 lambda b: _run_bucket(
                     spark, bucketed, output_dir, run_id, b, salt_partitions,
                     write_kept, ppl_udf_override, files_per_bucket,
+                    image_stats,
                 ),
                 todo,
             )
@@ -310,6 +346,7 @@ def run_pipeline(
                 _run_bucket(
                     spark, bucketed, output_dir, run_id, b, salt_partitions,
                     write_kept, ppl_udf_override, files_per_bucket,
+                    image_stats,
                 )
             )
             if _fail_after_bucket is not None and b >= _fail_after_bucket:
@@ -370,6 +407,11 @@ def main(argv: list[str] | None = None) -> None:
                     "to executors via SparkContext.addFile and swapped in "
                     "for the embedded perplexity table — no code change "
                     "needed to run with a production-trained scorer")
+    ap.add_argument("--image-stats", action="store_true",
+                    help="also write per-bucket pixel-side quality metrics "
+                    "(decode failures, sharpness/entropy aggregates) under "
+                    "metrics_image/bucket=N — catches a corrupted shard or "
+                    "blur regression per partition")
     ap.add_argument("--files-per-bucket", type=int, default=None,
                     help="size decisions/kept outputs to exactly N parquet "
                     "files per bucket (small-files guard for many-bucket "
@@ -402,6 +444,7 @@ def main(argv: list[str] | None = None) -> None:
         write_kept=args.write_kept, dedup_images=args.dedup_images,
         image_dedup_hamming=args.image_dedup_hamming,
         ppl_udf_override=ppl_override, files_per_bucket=args.files_per_bucket,
+        image_stats=args.image_stats,
     )
     if args.verify_golden:
         if not args.synthetic:
