@@ -233,6 +233,19 @@ def q_fk_orphans_orders(spark, sf_dir):
     ).select("o_orderkey", "o_custkey")
 
 
+def q_dup_key_stats_lineitem(spark, sf_dir):
+    """Key-uniqueness audit (the engine behind checker.check_uniqueness,
+    operators/integrity.duplicate_key_stats): one null-safe groupBy on
+    the key, summary aggregated from the per-key frame — one scan of the
+    base table regardless of size."""
+    from xoverrr_spark.operators.integrity import (
+        duplicate_key_stats, key_duplication,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_key_stats(key_duplication(li, ["l_orderkey"]), ["l_orderkey"])
+
+
 def q_freshness_events(spark, sf_dir):
     """Source-freshness audit (the engine behind checker.check_freshness,
     operators/profile.freshness): lag of the newest event vs a pinned
@@ -1489,6 +1502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # straight into the driver window; id_gaps_orders and
         # apply_changes_orders (both r4-green) ride the tail
         "fk_orphans_orders": q_fk_orphans_orders,
+        # round-5 batch-4: ninth family's engine, oracle-backed like the
+        # other check families (ann_topk_embeddings, r4-green, slides out)
+        "dup_key_stats_lineitem": q_dup_key_stats_lineitem,
         "freshness_events": q_freshness_events,
         "freshness_by_type_events": q_freshness_by_type_events,
         "salted_join_lineitem": q_salted_join_lineitem,
@@ -1526,12 +1542,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "quality_top_fraction_documents": q_quality_top_fraction,
         # --- embeddings -------------------------------------------------
-        "ann_topk_embeddings": q_ann_topk,
         # ================= driver gate cut-off (50) =====================
         # (the cut-off marker sat four rows too low until round-5 batch-4
-        # — recounted, then contamination_scores slid it one more row;
-        # everything below here is r4-green driver-verified or locally
-        # swept every round)
+        # — recounted, then contamination_scores + dup_key_stats slid it
+        # two more rows; everything below here is r4-green
+        # driver-verified or locally swept every round)
+        "ann_topk_embeddings": q_ann_topk,
         "embedding_near_dup_pairs": q_embedding_near_dups,
         "embedding_bucket_stats": q_embedding_bucket_stats,
         # --- time series / CDC / completeness ---------------------------
@@ -1610,6 +1626,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_top10": oracle.revenue_top10(),
         "customers_without_orders": oracle.customers_without_orders(),
         "fk_orphans_orders": oracle.fk_orphans_orders(),
+        "dup_key_stats_lineitem": oracle.dup_key_stats_lineitem(),
         "freshness_events": oracle.freshness_events(),
         "freshness_by_type_events": oracle.freshness_by_type_events(),
         "salted_join_lineitem": oracle.salted_join_lineitem(),

@@ -232,6 +232,27 @@ WHERE o_custkey IS NOT NULL
 """
 
 
+def dup_key_stats_lineitem() -> str:
+    """Twin of q_dup_key_stats_lineitem (checker.check_uniqueness's
+    engine, integrity.duplicate_key_stats): one-row uniqueness summary of
+    l_orderkey over lineitem — total rows, distinct keys, duplicated
+    keys, excess rows (what a dedup would drop), null-key rows. SUMs cast
+    to BIGINT (DuckDB aggregates ints into HUGEINT)."""
+    return """
+WITH g AS (SELECT l_orderkey, COUNT(*) AS row_count
+           FROM lineitem GROUP BY l_orderkey)
+SELECT CAST(SUM(row_count) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_keys,
+       CAST(SUM(CASE WHEN row_count > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS duplicate_keys,
+       CAST(SUM(CASE WHEN row_count > 1 THEN row_count - 1 ELSE 0 END) AS BIGINT)
+         AS excess_rows,
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN row_count ELSE 0 END) AS BIGINT)
+         AS null_key_rows
+FROM g
+"""
+
+
 # deterministic "now" for the freshness twin (events span Jan 2024)
 FRESHNESS_AS_OF = "2024-02-01 00:00:00"
 
