@@ -71,3 +71,59 @@ def test_candidate_jaccard_matches_python_twin(spark, texts):
         a, b = _py_shingles(texts[i]), _py_shingles(texts[j])
         expected = len(a & b) / len(a | b)
         assert abs(got[(i, j)] - expected) < 1e-12, (i, j, texts)
+
+
+_WORD = st.sampled_from(["a", "b", "c"])
+_TEXT = st.one_of(
+    st.none(),
+    st.lists(_WORD, min_size=0, max_size=5).map(" ".join),
+)
+_CORPUS = st.lists(_TEXT, min_size=1, max_size=8)
+
+_NULL_SENTINEL = ("<null>",)
+
+
+def _py_shingle_set(text, n=3):
+    """Sequential twin of shingle_table written from the spec: distinct
+    word n-gram TUPLES (hash-free — the 40-bit fold is injective on this
+    3-word vocabulary for all practical purposes), with the contract's
+    degenerate cases: null text -> one shared sentinel shingle; fewer
+    than n words (incl. the empty string's [''] word list) -> one
+    pad-completed shingle."""
+    import re
+
+    if text is None:
+        return {_NULL_SENTINEL}
+    words = re.split(r"\s+", text.strip())  # '' -> [''] like Spark's split
+    if len(words) < n:
+        return {tuple(words) + ("<pad>",) * (n - len(words))}
+    return {tuple(words[i:i + n]) for i in range(len(words) - n + 1)}
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_CORPUS)
+def test_dup_shingle_fraction_matches_set_replay(spark, texts):
+    from xoverrr_spark.operators.dedup import (
+        dup_shingle_fraction, release_intermediates,
+    )
+
+    sets = {i: _py_shingle_set(t) for i, t in enumerate(texts)}
+    freq = {}
+    for sh in sets.values():
+        for x in sh:
+            freq[x] = freq.get(x, 0) + 1
+    expect = {
+        i: (len(sh), sum(1 for x in sh if freq[x] >= 2))
+        for i, sh in sets.items()
+    }
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string")
+    out = dup_shingle_fraction(df, "doc_id", "text")
+    got = {r.doc_id: (r.n_shingles, r.n_dup_shingles) for r in out.collect()}
+    release_intermediates(out)
+    assert got == expect
