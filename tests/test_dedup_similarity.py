@@ -734,3 +734,8 @@ def test_contamination_scores_closed_form(spark):
     flagged = {r.doc_id for r in
                contaminated_docs(corpus, bench, "doc_id", "text").collect()}
     assert flagged == {d for d, r in got.items() if r.contamination > 0}
+    # degenerate: EMPTY benchmark -> every doc scores exactly 0.0 (the
+    # broadcast side is empty, the left join marks nothing)
+    none = contamination_scores(
+        corpus, corpus.filter("doc_id < 0"), "doc_id", "text").collect()
+    assert {r.contamination for r in none} == {0.0} and len(none) == 3
