@@ -562,6 +562,54 @@ def q_curate_documents_v2(spark, sf_dir):
     )
 
 
+def q_curate_documents_v3(spark, sf_dir):
+    """Round-5 recipe composing the new corpus-level signals, one lazy
+    plan over ONE shared persisted shingle table: window exact-dedup ->
+    drop docs whose CROSS-corpus duplicated-ngram ratio exceeds 1.25x
+    the global ratio -> drop docs FULLY contained in the benchmark's
+    shingle set (hard decontam; quoting survives, mirror pages do not).
+
+    Both gates are scale-free and integer-exact: the ratio gate is the
+    cross-multiplied form ``4 * n_dup * S_sh <= 5 * n_sh * S_dup``
+    (fixed-share thresholds go vacuous as the corpus grows — the q11
+    lesson — and float division orders differ across engines); the
+    containment gate is the integer equality ``n_bench == n_shingles``,
+    no division at all. Products stay far under int64 (counts are
+    per-doc x corpus-total of 40-bit-hash rows).
+    """
+    from xoverrr_spark.operators.dedup import (
+        _attach_intermediates, contamination_scores, dup_shingle_fraction,
+        exact_dedup_window, shingle_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    dd = exact_dedup_window(d, "doc_id", "text").persist()
+    # ONE shingle table feeds the dup-fraction agg, the benchmark set and
+    # the containment scores (branches never share execution unpersisted)
+    sh = shingle_table(dd, "doc_id", "text").persist()
+    frac = dup_shingle_fraction(dd, "doc_id", "text", shingles=sh).persist()
+    tots = frac.agg(
+        F.sum("n_shingles").alias("_ts"),
+        F.sum("n_dup_shingles").alias("_td"),
+    )
+    gated = (
+        frac.crossJoin(F.broadcast(tots))
+        .filter(
+            F.lit(4) * F.col("n_dup_shingles") * F.col("_ts")
+            <= F.lit(5) * F.col("n_shingles") * F.col("_td")
+        )
+        .select("doc_id", "n_shingles", "n_dup_shingles")
+    )
+    bench = dd.filter(F.col("doc_id") % oracle.DECONTAM_BENCH_MOD == 0)
+    contained = (
+        contamination_scores(dd, bench, "doc_id", "text", shingles=sh)
+        .filter("n_bench_shingles = n_shingles")
+        .select("doc_id")
+    )
+    out = gated.join(contained, "doc_id", "left_anti")
+    return _attach_intermediates(out, [dd, sh, frac])
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     from xoverrr_spark.operators.dedup import bloom_contaminated_docs
 
@@ -1527,6 +1575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_documents": q_curate_documents,
         "curate_documents_v2": q_curate_documents_v2,
         "curate_documents_hash": q_curate_documents_hash,
+        # round-5 batch-4: composition of the new corpus-level signals
+        "curate_documents_v3": q_curate_documents_v3,
         "source_cap_documents": q_source_cap,
         "source_cap_hash_documents": q_source_cap_hash,
         "source_keep_rate_documents": q_source_keep_rate,
@@ -1540,13 +1590,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_documents": q_mixture_sample,
         "pack_documents": q_pack_documents,
         "chunk_documents": q_chunk_documents,
-        "quality_top_fraction_documents": q_quality_top_fraction,
-        # --- embeddings -------------------------------------------------
         # ================= driver gate cut-off (50) =====================
         # (the cut-off marker sat four rows too low until round-5 batch-4
-        # — recounted, then contamination_scores + dup_key_stats slid it
-        # two more rows; everything below here is r4-green
-        # driver-verified or locally swept every round)
+        # — recounted, then four batch-4 queries each slid it one row;
+        # everything below here is r4-green driver-verified or locally
+        # swept every round)
+        "quality_top_fraction_documents": q_quality_top_fraction,
+        # --- embeddings -------------------------------------------------
         "ann_topk_embeddings": q_ann_topk,
         "embedding_near_dup_pairs": q_embedding_near_dups,
         "embedding_bucket_stats": q_embedding_bucket_stats,
@@ -1680,6 +1730,7 @@ def oracle_sql() -> dict[str, str]:
         "apply_changes_orders": oracle.apply_changes_orders(),
         "profile_drift_orders": oracle.profile_drift_orders(),
         "curate_documents_v2": oracle.curate_documents_v2(),
+        "curate_documents_v3": oracle.curate_documents_v3(),
         "chunk_documents": oracle.chunk_documents(),
         "sliding_counts_events": oracle.sliding_counts_events(),
         "q3_shipping_priority": oracle.q3_shipping_priority(),

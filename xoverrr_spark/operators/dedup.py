@@ -697,6 +697,7 @@ def contaminated_docs(
 def contamination_scores(
     df: DataFrame, benchmark: DataFrame, id_col: str, text_col: str,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Fractional decontamination scoring: per document, the share of its
     distinct word n-grams that appear anywhere in the benchmark corpus —
@@ -717,14 +718,20 @@ def contamination_scores(
     shuffle, only (doc_id, counters) pairs with map-side partial
     aggregation. The fraction is a single int/int double division
     (correctly rounded — bit-identical in the DuckDB twin,
-    oracle.contamination_scores_documents).
+    oracle.contamination_scores_documents). Pass a prebuilt PERSISTED
+    ``shingles`` table for the CORPUS side to share the explode+md5 map
+    stage with other consumers (the benchmark side is small enough to
+    re-shingle).
     """
     bench_sh = (
         shingle_table(benchmark, id_col, text_col, shingle_n)
         .select("shingle_hash").distinct()
         .withColumn("_b", F.lit(1))
     )
-    doc_sh = shingle_table(df, id_col, text_col, shingle_n)
+    doc_sh = (
+        shingles if shingles is not None
+        else shingle_table(df, id_col, text_col, shingle_n)
+    )
     return (
         doc_sh.join(F.broadcast(bench_sh), "shingle_hash", "left")
         .groupBy("doc_id")

@@ -1816,6 +1816,56 @@ FROM tok
 """
 
 
+def curate_documents_v3() -> str:
+    """Twin of q_curate_documents_v3: window exact-dedup -> drop docs
+    whose cross-corpus dup-ngram ratio exceeds 1.25x the global ratio
+    (cross-multiplied BIGINT form, no float division) -> drop docs fully
+    contained in the benchmark shingle set (integer-equality containment,
+    no division). One shingle CTE over the dedup survivors feeds all
+    three, mirroring the Spark side's shared persisted shingle table."""
+    return f"""
+WITH fpd AS (
+  SELECT doc_id, source, text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fpv
+  FROM documents
+),
+dd AS (
+  SELECT doc_id, source, text FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fpv ORDER BY doc_id) AS rn FROM fpd
+  ) WHERE rn = 1
+),
+{_shingles_sql('dd', 'd').strip()},
+dupset AS (SELECT x FROM shd GROUP BY x HAVING COUNT(*) >= 2),
+per AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN f.x IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_shingles
+  FROM shd s LEFT JOIN dupset f ON s.x = f.x
+  GROUP BY s.doc_id
+),
+tot AS (
+  SELECT CAST(SUM(n_shingles) AS BIGINT) AS ts,
+         CAST(SUM(n_dup_shingles) AS BIGINT) AS td
+  FROM per
+),
+gated AS (
+  SELECT per.doc_id, per.n_shingles, per.n_dup_shingles
+  FROM per, tot
+  WHERE 4 * n_dup_shingles * ts <= 5 * n_shingles * td
+),
+bshd AS (SELECT DISTINCT x FROM shd WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+contained AS (
+  SELECT s.doc_id
+  FROM shd s LEFT JOIN bshd b ON s.x = b.x
+  GROUP BY s.doc_id
+  HAVING COUNT(*) = SUM(CASE WHEN b.x IS NOT NULL THEN 1 ELSE 0 END)
+)
+SELECT g.doc_id, g.n_shingles, g.n_dup_shingles
+FROM gated g ANTI JOIN contained c USING (doc_id)
+"""
+
+
 CHUNK_MAX_TOKENS = 20
 CHUNK_STRIDE = 15
 
