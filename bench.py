@@ -309,7 +309,9 @@ def main() -> None:
     # window and taking the best window's ratio estimates the noise-free
     # scaling, bounded above by the hardware.
     windows = []
-    for _ in range(2):
+    for _ in range(3):  # 3 windows: a single external burst (observed to
+        # span one whole low/high pair in the evening) can no longer
+        # depress every window
         tl = time_pipeline(SCALE_LOW, fixture, runs=1)
         th = time_pipeline(SCALE_HIGH, fixture, runs=1)
         windows.append((tl, th, (tl / th) / (SCALE_HIGH / SCALE_LOW)))
