@@ -1505,6 +1505,55 @@ def q_dup_shingle_fraction(spark, sf_dir):
     return dup_shingle_fraction(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (splits.assign_splits):
+    md5('seed:id') thresholded over the 60-bit space — zero shuffle,
+    partitioning/retry/engine-independent. Fractions + seed come from
+    oracle.SPLIT_FRACTIONS/SPLIT_SEED so the twin can never drift."""
+    from xoverrr_spark.operators.splits import assign_splits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_splits(d, "doc_id", oracle.SPLIT_FRACTIONS, seed=oracle.SPLIT_SEED)
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split duplicate-leakage audit (splits.split_leakage) over a
+    derived corpus: every SPLIT_MIRROR_MOD-th doc mirrored verbatim at
+    doc_id + SPLIT_MIRROR_OFFSET (the raw table has no exact dups — the
+    mirror creates cross-id dup groups whose members hash to independent
+    splits), then every doc whose fingerprint spans >= 2 splits is
+    reported with the sorted split set — the eval-contamination check a
+    split pipeline must run before training."""
+    from xoverrr_spark.operators.splits import assign_splits, split_leakage
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % oracle.SPLIT_MIRROR_MOD == 0).select(
+            (F.col("doc_id") + oracle.SPLIT_MIRROR_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    with_split = assign_splits(
+        corpus, "doc_id", oracle.SPLIT_FRACTIONS, seed=oracle.SPLIT_SEED
+    )
+    return split_leakage(with_split, "doc_id", "text", "split")
+
+
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture plan (splits.token_budget_mixture): one
+    groupBy over sources; driver-computed integer targets; bigint
+    floor-div ppm rates. src9..src19 carry no weight and surface as
+    visible rate-0 rows instead of being silently kept."""
+    from xoverrr_spark.operators.splits import token_budget_mixture
+
+    return token_budget_mixture(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        "text",
+        oracle.MIX_WEIGHTS,
+        oracle.MIX_BUDGET_TOKENS,
+    )
+
+
 # -------------------------------------------------------------- contract ----
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1578,7 +1627,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 batch-4: composition of the new corpus-level signals
         "curate_documents_v3": q_curate_documents_v3,
         "source_cap_documents": q_source_cap,
-        "source_cap_hash_documents": q_source_cap_hash,
         "source_keep_rate_documents": q_source_keep_rate,
         "repetition_stats_documents": q_repetition_stats,
         # round-5 batch-4: cross-corpus duplicated-ngram fraction — new,
@@ -1588,13 +1636,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_scores_documents": q_contamination_scores,
         "boilerplate_lines_documents": q_boilerplate_lines,
         "mixture_sample_documents": q_mixture_sample,
-        "pack_documents": q_pack_documents,
-        "chunk_documents": q_chunk_documents,
+        # round-5 batch-5: dataset assembly — deterministic splits, the
+        # cross-split leakage audit, and token-budget mixture planning,
+        # straight into the driver window (pack/chunk/source_cap_hash,
+        # all r4-green, slide to the tail)
+        "split_assignment_documents": q_split_assignment,
+        "split_leakage_documents": q_split_leakage,
+        "token_budget_mixture_documents": q_token_budget_mixture,
         # ================= driver gate cut-off (50) =====================
         # (the cut-off marker sat four rows too low until round-5 batch-4
         # — recounted, then four batch-4 queries each slid it one row;
         # everything below here is r4-green driver-verified or locally
         # swept every round)
+        "pack_documents": q_pack_documents,
+        "chunk_documents": q_chunk_documents,
+        "source_cap_hash_documents": q_source_cap_hash,
         "quality_top_fraction_documents": q_quality_top_fraction,
         # --- embeddings -------------------------------------------------
         "ann_topk_embeddings": q_ann_topk,
@@ -1721,6 +1777,9 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats_documents": oracle.repetition_stats_documents(),
         "dup_shingle_fraction_documents": oracle.dup_shingle_fraction_documents(),
         "contamination_scores_documents": oracle.contamination_scores_documents(),
+        "split_assignment_documents": oracle.split_assignment_documents(),
+        "split_leakage_documents": oracle.split_leakage_documents(),
+        "token_budget_mixture_documents": oracle.token_budget_mixture_documents(),
         "range_count_events": oracle.range_count_events(),
         "quality_top_fraction_documents": oracle.quality_top_fraction_documents(),
         "mixture_sample_documents": oracle.mixture_sample_documents(),

@@ -1,0 +1,193 @@
+"""Deterministic split assignment, cross-split leakage audit, and
+token-budget mixture planning (operators/splits.py).
+
+The split hash math also has a DuckDB twin (split_case_sql) verified by
+the oracle queries; these tests pin the Python-side semantics the oracle
+parity cannot see: determinism across partitionings, exhaustiveness,
+config validation, and the degenerate inputs (null ids, null texts,
+unweighted sources, zero budgets).
+"""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from xoverrr_spark.operators.splits import (
+    SPLIT_SPACE,
+    assign_splits,
+    split_case_sql,
+    split_leakage,
+    split_thresholds,
+    token_budget_mixture,
+)
+
+FR = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def test_split_thresholds_validation():
+    with pytest.raises(ValueError):
+        split_thresholds({})
+    with pytest.raises(ValueError):
+        split_thresholds({"train": 0.5, "val": 0.4})  # sum != 1
+    with pytest.raises(ValueError):
+        split_thresholds({"train": 1.5, "val": -0.5})  # non-positive
+    with pytest.raises(ValueError):
+        split_thresholds({"": 1.0})  # empty name
+    ths = split_thresholds(FR)
+    assert ths[-1] == ("test", SPLIT_SPACE)  # exhaustive by construction
+    assert [n for n, _ in ths] == ["train", "val", "test"]
+    assert all(t > 0 for _, t in ths)
+    assert sorted(t for _, t in ths) == [t for _, t in ths]
+
+
+def test_assign_splits_disjoint_exhaustive_and_proportional(spark):
+    n = 5000
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = assign_splits(df, "doc_id", FR, seed=7)
+    counts = {r["split"]: r["c"] for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert sum(counts.values()) == n  # exhaustive: every row exactly one split
+    assert set(counts) == {"train", "val", "test"}
+    # md5 is uniform: at n=5000 each fraction lands within a loose band
+    assert abs(counts["train"] / n - 0.8) < 0.05
+    assert abs(counts["val"] / n - 0.1) < 0.03
+    assert abs(counts["test"] / n - 0.1) < 0.03
+
+
+def test_assign_splits_deterministic_across_partitionings(spark):
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = assign_splits(df.repartition(1), "doc_id", FR, seed=3)
+    b = assign_splits(df.repartition(13), "doc_id", FR, seed=3)
+    rows_a = {r["doc_id"]: r["split"] for r in a.collect()}
+    rows_b = {r["doc_id"]: r["split"] for r in b.collect()}
+    assert rows_a == rows_b  # unlike randomSplit: partitioning-independent
+    c = assign_splits(df, "doc_id", FR, seed=4)
+    rows_c = {r["doc_id"]: r["split"] for r in c.collect()}
+    assert rows_a != rows_c  # a new seed re-rolls the assignment
+
+
+def test_assign_splits_null_ids_one_deterministic_split(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=None), Row(doc_id=None), Row(doc_id=1)],
+        "doc_id bigint",
+    )
+    out = assign_splits(df, "doc_id", FR, seed=0).collect()
+    null_splits = {r["split"] for r in out if r["doc_id"] is None}
+    assert len(null_splits) == 1  # sentinel: all null ids travel together
+    assert None not in {r["split"] for r in out}
+
+
+def test_assign_splits_rejects_existing_column(spark):
+    df = spark.range(3).withColumnRenamed("id", "doc_id").withColumn("split", F.lit("x"))
+    with pytest.raises(ValueError):
+        assign_splits(df, "doc_id", FR)
+
+
+def test_split_case_sql_matches_spark(spark):
+    """The DuckDB CASE twin replays the identical assignment."""
+    duckdb = pytest.importorskip("duckdb")
+    df = spark.range(300).withColumnRenamed("id", "doc_id")
+    ours = {r["doc_id"]: r["split"] for r in assign_splits(df, "doc_id", FR, seed=11).collect()}
+    con = duckdb.connect()
+    sql = split_case_sql("doc_id", FR, seed=11)
+    got = dict(
+        con.execute(
+            f"SELECT doc_id, {sql} FROM (SELECT UNNEST(range(300)) AS doc_id)"
+        ).fetchall()
+    )
+    assert ours == got
+
+
+def test_split_leakage_reports_cross_split_dups_only(spark):
+    rows = [
+        Row(doc_id=1, text="shared dup text", split="train"),
+        Row(doc_id=2, text="  SHARED   dup TEXT ", split="test"),  # fp-equal
+        Row(doc_id=3, text="train only dup", split="train"),
+        Row(doc_id=4, text="train only dup", split="train"),  # same split: no leak
+        Row(doc_id=5, text="unique", split="val"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = split_leakage(df, "doc_id", "text", "split").collect()
+    leaked = {r["doc_id"] for r in out}
+    assert leaked == {1, 2}
+    assert all(r["n_splits"] == 2 and r["splits"] == "test,train" for r in out)
+
+
+def test_split_leakage_null_texts_leak_together(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=None, split="train"), Row(doc_id=2, text=None, split="test")],
+        "doc_id bigint, text string, split string",
+    )
+    out = split_leakage(df, "doc_id", "text", "split").collect()
+    assert {r["doc_id"] for r in out} == {1, 2}  # null texts are dups of each other
+
+
+def test_split_leakage_null_split_counted_not_skipped(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="t", split=None), Row(doc_id=2, text="t", split="train")],
+        "doc_id bigint, text string, split string",
+    )
+    out = split_leakage(df, "doc_id", "text", "split").collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    assert all(r["n_splits"] == 2 for r in out)
+
+
+def test_split_leakage_empty_when_no_cross_split_dups(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a", split="train"), Row(doc_id=2, text="b", split="test")]
+    )
+    assert split_leakage(df, "doc_id", "text", "split").count() == 0
+
+
+def _mix_fixture(spark):
+    rows = []
+    for i in range(10):
+        rows.append(Row(doc_id=i, source="web", text="w " * 10))  # 10 tokens each
+    for i in range(10, 14):
+        rows.append(Row(doc_id=i, source="books", text="b " * 50))  # 50 tokens each
+    rows.append(Row(doc_id=99, source="empty", text="   "))  # 0 tokens
+    rows.append(Row(doc_id=98, source=None, text="n n n"))  # null source
+    rows.append(Row(doc_id=97, source="unweighted", text="u u"))
+    return spark.createDataFrame(rows)
+
+
+def test_token_budget_mixture_golden(spark):
+    df = _mix_fixture(spark)
+    out = {
+        r["source"]: r
+        for r in token_budget_mixture(
+            df, "source", "text", {"web": 0.75, "books": 0.25, "empty": 0.0}, 120
+        ).collect()
+    }
+    # web: 100 tokens available, target floor(120*0.75)=90 -> ppm 900000
+    assert out["web"]["n_tokens"] == 100 and out["web"]["target_tokens"] == 90
+    assert out["web"]["rate_ppm"] == 900_000 and out["web"]["planned_tokens"] == 90
+    # books: 200 available, target 30 -> ppm 150000
+    assert out["books"]["rate_ppm"] == 150_000 and out["books"]["planned_tokens"] == 30
+    # zero-weight, zero-token, null and unweighted sources all VISIBLE with rate 0
+    for s in ("empty", None, "unweighted"):
+        assert out[s]["rate_ppm"] == 0 and out[s]["target_tokens"] == 0
+    assert out["empty"]["n_tokens"] == 0
+
+
+def test_token_budget_mixture_under_supplied_source_capped(spark):
+    df = _mix_fixture(spark)
+    out = {
+        r["source"]: r
+        for r in token_budget_mixture(df, "source", "text", {"books": 1.0}, 10_000).collect()
+    }
+    b = out["books"]
+    assert b["target_tokens"] == 10_000 and b["n_tokens"] == 200
+    assert b["rate_ppm"] == 1_000_000  # capped at keep-everything
+    assert b["planned_tokens"] == 200  # plan exposes the shortfall
+
+
+def test_token_budget_mixture_validation(spark):
+    df = _mix_fixture(spark)
+    with pytest.raises(ValueError):
+        token_budget_mixture(df, "source", "text", {"web": 1.0}, -1)
+    with pytest.raises(ValueError):
+        token_budget_mixture(df, "source", "text", {"web": -1.0}, 10)
+    with pytest.raises(ValueError):
+        token_budget_mixture(df, "source", "text", {"web": 1.0}, 1 << 60)
+    # zero budget: all targets 0, no division blowups
+    out = token_budget_mixture(df, "source", "text", {"web": 1.0}, 0).collect()
+    assert all(r["rate_ppm"] == 0 for r in out)

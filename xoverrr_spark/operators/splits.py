@@ -1,0 +1,262 @@
+"""Dataset assembly for training pipelines: deterministic train/val/test
+splitting, cross-split duplicate-leakage audit, and token-budget mixture
+planning.
+
+These extend the reference's single-table validation battery
+(/root/reference/src/xoverrr/utils.py:262 rule predicates;
+core.py check flows) with the corpus-ASSEMBLY operations a 100-TB
+training-data pipeline needs around them: once documents are validated
+and deduplicated, they must be split reproducibly, the splits must be
+audited for duplicate leakage (the classic eval-contamination bug), and
+per-source sampling rates must be derived from a token budget.
+
+All three are pure DataFrame algebra — no UDFs, no driver-side state —
+and every output is replayable in ANSI SQL for the DuckDB oracle
+(split_case_sql builds the identical hash-threshold CASE expression).
+
+Scale notes:
+- ``assign_splits`` is a pure map (zero shuffle): the split is a
+  threshold test on a 60-bit md5 of (seed, id), so the same row lands in
+  the same split regardless of partitioning, retries, cluster size, or
+  engine — required for resumable pipelines and for honoring a split
+  committed months earlier.
+- ``split_leakage`` is two hash aggregations plus one equi-join on the
+  fingerprint (map-side combinable, skew-free keys: md5 output); it
+  never self-joins documents.
+- ``token_budget_mixture`` is one groupBy over sources (tiny result) —
+  the corpus is scanned once; the returned per-source rates feed
+  ``corpus.mixture_sample`` / ``deterministic_sample_flag`` without a
+  second planning scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.tokens import fingerprint, md5_long, md5_long_sql, ws_token_count
+
+# The hash space of md5_long: first 15 hex chars of md5 = 60 bits.
+SPLIT_SPACE = 1 << 60
+
+NULL_ID_SENTINEL = "\x00<null-id>"
+NULL_TEXT_SENTINEL = "\x00<null-text>"  # same value exact_dedup uses
+NULL_SPLIT_SENTINEL = "\x00<null-split>"
+
+# bigint headroom guard for rate_ppm integer math (target * 1e6 must fit)
+_PPM = 1_000_000
+_MAX_BUDGET = (1 << 63) // _PPM - 1
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative integer thresholds over the 60-bit hash space.
+
+    Validates up front (empty mapping, non-positive fraction, sum != 1)
+    — config errors must raise at plan time, not produce a silently
+    lopsided split. The LAST split's threshold is pinned to SPLIT_SPACE
+    exactly so the assignment is exhaustive: every hash value falls in
+    exactly one split even when the fractions don't divide 2^60 evenly.
+    Insertion order of the dict is the threshold order (Python 3.7+
+    dicts are ordered), so the same mapping always yields the same
+    assignment.
+    """
+    if not fractions:
+        raise ValueError("fractions must be a non-empty mapping")
+    for name, frac in fractions.items():
+        if not isinstance(name, str) or not name:
+            raise ValueError(f"split name must be a non-empty string: {name!r}")
+        if not (frac > 0):
+            raise ValueError(f"split fraction must be > 0: {name}={frac}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    out: list[tuple[str, int]] = []
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        out.append((name, int(round(cum * SPLIT_SPACE))))
+    out.append((names[-1], SPLIT_SPACE))
+    return out
+
+
+def _split_key_sql_duckdb(id_expr: str, seed: int) -> str:
+    return (
+        f"('{seed}:' || COALESCE(CAST({id_expr} AS VARCHAR), "
+        f"chr(0) || '<null-id>'))"
+    )
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic ``split_col`` ('train'/'val'/... per
+    ``fractions``) chosen by thresholding md5_long(seed ':' id) over the
+    60-bit space.
+
+    Content-deterministic like ``deterministic_sample_flag`` (and unlike
+    ``df.randomSplit``, whose assignment depends on partitioning and
+    changes under AQE/retries): the same (seed, id) is ALWAYS in the
+    same split, on any cluster size, and the DuckDB oracle replays the
+    identical CASE expression (``split_case_sql``). Changing ``seed``
+    re-rolls the whole assignment.
+
+    Null ids hash a sentinel string, so they all land together in one
+    deterministic split instead of becoming a null split (same
+    null-key discipline as exact_dedup's fingerprint sentinel).
+    Exhaustive + disjoint by construction: the when-chain tests
+    cumulative thresholds in order and the last split catches the rest.
+    """
+    if split_col in df.columns:
+        raise ValueError(f"column {split_col!r} already exists in the input")
+    ths = split_thresholds(fractions)
+    key = F.concat(
+        F.lit(f"{seed}:"),
+        F.coalesce(F.col(id_col).cast("string"), F.lit(NULL_ID_SENTINEL)),
+    )
+    h = md5_long(key)
+    expr = None
+    for name, t in ths[:-1]:
+        cond = h < F.lit(t)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(ths[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def split_case_sql(id_expr: str, fractions: dict[str, float], seed: int = 0) -> str:
+    """DuckDB CASE expression computing the identical split assignment
+    (same md5 input string, same 60-bit parse, same integer thresholds)."""
+    ths = split_thresholds(fractions)
+    h = md5_long_sql(_split_key_sql_duckdb(id_expr, seed))
+    if len(ths) == 1:
+        return f"'{ths[0][0]}'"
+    branches = " ".join(
+        f"WHEN {h} < {t} THEN '{name}'" for name, t in ths[:-1]
+    )
+    return f"(CASE {branches} ELSE '{ths[-1][0]}' END)"
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+) -> DataFrame:
+    """Documents whose exact-duplicate group spans >= 2 splits — the
+    eval-contamination audit every train/val/test split needs (a test
+    document with a training-set duplicate silently inflates eval).
+
+    Returns one row per LEAKED document:
+    ``(id_col, split_col, text_fp, n_splits, splits)`` where ``splits``
+    is the sorted comma-joined set of splits the fingerprint appears in.
+    Empty result = no leakage. Null texts share the exact_dedup
+    fingerprint sentinel (they are duplicates of each other, so a null
+    text in train and another in test IS a leak and is reported); a
+    null split value (shouldn't happen downstream of assign_splits, but
+    upstream data can carry anything) is coalesced to a sentinel so the
+    row is counted rather than silently skipped by collect_list.
+
+    Plan: project -> distinct (fp, split) pairs -> groupBy fp (tiny,
+    map-side combinable) -> filter n_splits >= 2 -> one equi-join back.
+    The join key is the coalesced fingerprint, never null by
+    construction, so a plain equi-join is null-complete here.
+    """
+    d = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(split_col), F.lit(NULL_SPLIT_SENTINEL)).alias("_split"),
+        F.coalesce(fingerprint(F.col(text_col)), F.lit(NULL_TEXT_SENTINEL)).alias(
+            "text_fp"
+        ),
+    )
+    spans = (
+        d.select("text_fp", "_split")
+        .distinct()
+        .groupBy("text_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_splits"),
+            F.array_join(F.sort_array(F.collect_list("_split")), ",").alias("splits"),
+        )
+        .filter(F.col("n_splits") >= 2)
+    )
+    return d.join(spans, "text_fp", "inner").select(
+        F.col(id_col),
+        F.col("_split").alias(split_col),
+        "text_fp",
+        "n_splits",
+        "splits",
+    )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+) -> DataFrame:
+    """Per-source sampling plan to assemble a ``budget_tokens`` mixture
+    with relative ``weights`` — the planning half of dataset mixing
+    (``corpus.mixture_sample`` is the apply half).
+
+    Returns one row per source present in the corpus:
+    ``(source, n_docs, n_tokens, target_tokens, rate_ppm, planned_tokens)``
+    - ``target_tokens``: floor(budget * weight / sum(weights)), computed
+      driver-side so it is an exact integer literal in both engines.
+    - ``rate_ppm``: floor(1e6 * target / n_tokens) capped at 1e6 — the
+      parts-per-million keep rate to feed a deterministic sampler.
+      Pure bigint math (``div``), bit-identical in the DuckDB twin.
+    - ``planned_tokens``: min(target, n_tokens) — what the plan can
+      actually deliver; planned < target exposes an under-supplied
+      source instead of silently under-filling the mixture.
+
+    Sources WITHOUT a weight get target 0 / rate 0 but still appear in
+    the output — visible, not silently kept (the least(NULL, 1.0)
+    mixture_sample trap, caught in r3, is exactly the failure mode this
+    avoids). A null source is likewise reported with rate 0. Sources
+    with zero tokens (all-null/blank texts) get rate_ppm 0 — there is
+    nothing to sample.
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    if budget_tokens > _MAX_BUDGET:
+        raise ValueError(
+            f"budget_tokens too large for exact ppm math (max {_MAX_BUDGET}); "
+            "plan in units of 1k tokens instead"
+        )
+    wsum = sum(weights.values()) if weights else 0.0
+    if weights and wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    targets = {
+        s: int(budget_tokens * w / wsum) for s, w in weights.items() if w > 0
+    }
+    per_source = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws_token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    target = None
+    for s, t in targets.items():
+        cond = F.col("source") == F.lit(s)
+        target = F.when(cond, F.lit(t)) if target is None else target.when(cond, F.lit(t))
+    target = F.lit(0) if target is None else target.otherwise(F.lit(0))
+    out = per_source.withColumn("target_tokens", target.cast("bigint"))
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "target_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.least(
+                F.lit(_PPM).cast("bigint"),
+                F.expr(f"(target_tokens * {_PPM}) div n_tokens"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rate_ppm"),
+        F.least(F.col("target_tokens"), F.col("n_tokens")).alias("planned_tokens"),
+    )

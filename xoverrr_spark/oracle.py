@@ -2461,3 +2461,95 @@ WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
       AND l3.l_returnflag = 'R')
 GROUP BY s.s_name
 """
+
+
+# ------------------------------------------------------------------ splits --
+
+# Shared constants for the split-family queries: __spark_entry__ reads
+# THESE so the Spark query and the SQL twin can never drift apart.
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = 42
+SPLIT_MIRROR_OFFSET = 1_000_000  # derived-corpus ids for the leakage query
+SPLIT_MIRROR_MOD = 5  # every 5th doc is mirrored verbatim -> cross-id dup
+MIX_BUDGET_TOKENS = 10_000
+# src0..src7 weight 1, src8 weight 2; src9..src19 intentionally
+# unweighted -> visible rate-0 rows (the least(NULL,1.0) trap, r3)
+MIX_WEIGHTS = {**{f"src{i}": 1.0 for i in range(8)}, "src8": 2.0}
+
+_FP_SQL = (
+    r"COALESCE(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), "
+    r"chr(0) || '<null-text>')"
+)
+
+
+def split_assignment_documents() -> str:
+    """Twin of splits.assign_splits: the identical md5('seed:id') 60-bit
+    threshold CASE (splits.split_case_sql builds it from the same
+    fractions/seed constants), so the per-doc assignment matches
+    value-for-value — the property that lets a split committed by one
+    engine be honored by another."""
+    from .operators.splits import split_case_sql
+
+    case = split_case_sql("doc_id", SPLIT_FRACTIONS, SPLIT_SEED)
+    return f"SELECT doc_id, {case} AS split FROM documents\n"
+
+
+def split_leakage_documents() -> str:
+    """Twin of splits.split_leakage over a derived corpus: every
+    SPLIT_MIRROR_MOD-th document is mirrored verbatim at doc_id +
+    SPLIT_MIRROR_OFFSET (the raw table has no exact dups), the union is
+    split-assigned, and docs whose fingerprint spans >= 2 splits are
+    reported with the sorted split set. Null texts share the
+    exact_dedup sentinel, so cross-split null pairs leak too."""
+    from .operators.splits import split_case_sql
+
+    case = split_case_sql("doc_id", SPLIT_FRACTIONS, SPLIT_SEED)
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {SPLIT_MIRROR_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {SPLIT_MIRROR_MOD} = 0
+),
+d AS (
+  SELECT doc_id, {case} AS split, {_FP_SQL} AS text_fp FROM corpus
+),
+p AS (SELECT DISTINCT text_fp, split FROM d),
+s AS (
+  SELECT text_fp, CAST(COUNT(*) AS BIGINT) AS n_splits,
+         string_agg(split, ',' ORDER BY split) AS splits
+  FROM p GROUP BY text_fp HAVING COUNT(*) >= 2
+)
+SELECT d.doc_id, d.split, d.text_fp, s.n_splits, s.splits
+FROM d JOIN s USING (text_fp)
+"""
+
+
+def token_budget_mixture_documents() -> str:
+    """Twin of splits.token_budget_mixture: per-source token counts (the
+    ws_token_count twin), driver-computed integer targets as literals in
+    BOTH engines, and pure-bigint floor-division ppm math (DuckDB // ==
+    Spark div for non-negative ints). SUM/COUNT cast to BIGINT (HUGEINT
+    schema-mismatches Spark)."""
+    wsum = sum(MIX_WEIGHTS.values())
+    targets = {s: int(MIX_BUDGET_TOKENS * w / wsum) for s, w in MIX_WEIGHTS.items()}
+    branches = " ".join(f"WHEN '{s}' THEN {t}" for s, t in targets.items())
+    return rf"""
+WITH ps AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END)
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT *, CAST(CASE source {branches} ELSE 0 END AS BIGINT) AS target_tokens
+  FROM ps
+)
+SELECT source, n_docs, n_tokens, target_tokens,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN least(1000000, (target_tokens * 1000000) // n_tokens)
+                 ELSE 0 END AS BIGINT) AS rate_ppm,
+       least(target_tokens, n_tokens) AS planned_tokens
+FROM t
+"""
