@@ -1539,10 +1539,12 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget mixture plan (splits.token_budget_mixture): one
-    groupBy over sources; driver-computed integer targets; bigint
-    floor-div ppm rates. src9..src19 carry no weight and surface as
-    visible rate-0 rows instead of being silently kept."""
+    """Token-budget mixture plan (splits.token_budget_mixture with
+    upsampling): one groupBy over sources; driver-computed integer
+    targets; bigint floor-div epoch/ppm math. src8 (weight 2) targets
+    more tokens than it holds -> epochs >= 1 plus a fractional pass;
+    src9..src19 carry no weight and surface as visible rate-0 rows
+    instead of being silently kept."""
     from xoverrr_spark.operators.splits import token_budget_mixture
 
     return token_budget_mixture(
@@ -1551,6 +1553,7 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         oracle.MIX_WEIGHTS,
         oracle.MIX_BUDGET_TOKENS,
+        allow_upsample=True,
     )
 
 

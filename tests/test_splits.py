@@ -162,6 +162,8 @@ def test_token_budget_mixture_golden(spark):
     assert out["web"]["rate_ppm"] == 900_000 and out["web"]["planned_tokens"] == 90
     # books: 200 available, target 30 -> ppm 150000
     assert out["books"]["rate_ppm"] == 150_000 and out["books"]["planned_tokens"] == 30
+    # default mode never repeats a source
+    assert all(r["epochs"] == 0 for r in out.values())
     # zero-weight, zero-token, null and unweighted sources all VISIBLE with rate 0
     for s in ("empty", None, "unweighted"):
         assert out[s]["rate_ppm"] == 0 and out[s]["target_tokens"] == 0
@@ -178,6 +180,23 @@ def test_token_budget_mixture_under_supplied_source_capped(spark):
     assert b["target_tokens"] == 10_000 and b["n_tokens"] == 200
     assert b["rate_ppm"] == 1_000_000  # capped at keep-everything
     assert b["planned_tokens"] == 200  # plan exposes the shortfall
+    assert b["epochs"] == 0
+
+
+def test_token_budget_mixture_upsample_epochs(spark):
+    df = _mix_fixture(spark)
+    out = {
+        r["source"]: r
+        for r in token_budget_mixture(
+            df, "source", "text", {"books": 1.0}, 750, allow_upsample=True
+        ).collect()
+    }
+    b = out["books"]  # 200 tokens available, target 750 = 3 epochs + 150/200
+    assert b["epochs"] == 3 and b["rate_ppm"] == 750_000
+    assert b["planned_tokens"] == 750  # upsampling delivers the full target
+    # zero-token source cannot be repeated either
+    assert out["empty"]["epochs"] == 0 and out["empty"]["rate_ppm"] == 0
+    assert out["empty"]["planned_tokens"] == 0
 
 
 def test_token_budget_mixture_validation(spark):

@@ -1356,6 +1356,167 @@ class QualityChecker:
             if grouped is not None:
                 grouped.unpersist()
 
+    def check_split_leakage(
+        self,
+        source_table,
+        id_column: str,
+        text_column: str,
+        split_column: str,
+        check_name: str | None = None,
+        max_leaked_pct: float = 0.0,
+        max_examples: int = 20,
+        date_column: str | None = None,
+        date_range: tuple[str, str] | None = None,
+        report_output_format: str = "text",
+    ):
+        """Tenth check type: cross-split duplicate leakage — do any
+        exact-duplicate documents span two splits of one table? The
+        textbook eval-contamination bug: a test document with a training
+        duplicate silently inflates every benchmark score, and nothing in
+        a per-split pipeline ever sees both copies at once. No analogue
+        in the reference (its four checks compare two tables row-wise;
+        this is a single-table corpus invariant), but it wears the same
+        contract: scored status, text/JSON report, full audit row.
+
+            leaked_pct  = leaked_docs / n_rows * 100
+            final_score = 100 - leaked_pct (floored at 0)
+
+        Fails when ``leaked_pct > max_leaked_pct``. Null texts count as
+        duplicates of each other (exact_dedup's sentinel policy), so a
+        null-text doc in train and another in test IS reported. An empty
+        table passes vacuously. Scale shape: the leakage frame
+        (operators/splits.split_leakage — distinct (fp, split) pairs,
+        map-side-combined groupBy, broadcast join back) is persisted
+        once; the doc count, per-split breakdown, and worst-group
+        examples all derive from it, and only bounded rows reach the
+        driver.
+        """
+        for arg, label in ((id_column, "id_column"), (text_column, "text_column"),
+                           (split_column, "split_column")):
+            if not arg or not isinstance(arg, str):
+                # malformed CALL, not a failed check: raise before the
+                # FAILED-wrapper try (run_suite records it as a config error)
+                raise ValueError(f"{label} must be a non-empty column name")
+        run_id = uuid.uuid4().hex[:16]
+        timings = CheckRunTimings(run_started_at=CheckRunTimings.now())
+        leaked = None
+        try:
+            from .operators.splits import split_leakage
+
+            fmt = validate_report_output_format(report_output_format)
+            src = self._date_filter(
+                self._resolve(source_table), date_column, date_range)
+
+            timings.mark_query_start("source")
+            timings.mark_dataset_check_start()
+            n_rows = src.count()
+            leaked = split_leakage(
+                src, id_column, text_column, split_column).persist()
+            n_leaked = leaked.count()
+            by_split = sorted(
+                ((r[split_column], int(r["c"])) for r in
+                 leaked.groupBy(split_column)
+                 .agg(F.count(F.lit(1)).alias("c")).collect()),
+                key=lambda t: (-t[1], str(t[0])),
+            )
+            groups = (
+                leaked.groupBy("text_fp", "n_splits", "splits")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.min(id_column).alias("example_id"))
+                .orderBy(F.desc("n_docs"), "text_fp")
+                .limit(max_examples)
+                .collect()
+            )
+            n_groups = leaked.select("text_fp").distinct().count()
+            timings.mark_dataset_check_end()
+            timings.mark_query_end("source")
+
+            leaked_pct = n_leaked * 100.0 / n_rows if n_rows else 0.0
+            status = (
+                D.CHECK_SUCCESS if leaked_pct <= max_leaked_pct
+                else D.CHECK_FAILED
+            )
+            name = check_name or "check_split_leakage"
+            lines = [
+                f"split-leakage check: {name} [{run_id}] -> {status}",
+                f"columns: id={id_column} text={text_column} "
+                f"split={split_column}  rows: {n_rows}  "
+                f"leaked docs: {n_leaked}  leaked groups: {n_groups}  "
+                f"leaked_pct: {leaked_pct:.4f}  tolerance: {max_leaked_pct}",
+            ]
+            if not n_rows:
+                lines.append(
+                    "  empty table: nothing can leak — vacuous pass")
+            if by_split:
+                lines.append("  leaked docs per split: " + ", ".join(
+                    f"{s}={c}" for s, c in by_split))
+            for g in groups:
+                lines.append(
+                    f"  dup group {g['text_fp'][:12]}… x{g['n_docs']} docs "
+                    f"across [{g['splits']}] e.g. {id_column}="
+                    f"{g['example_id']}")
+            text_report = "\n".join(lines)
+            stats = {
+                "n_rows": n_rows,
+                "leaked_docs": n_leaked,
+                "leaked_groups": n_groups,
+                "leaked_pct": round(leaked_pct, 4),
+                "leaked_by_split": dict(by_split),
+                "final_score": round(max(0.0, 100.0 - leaked_pct), 4),
+            }
+            details = [
+                {"text_fp": g["text_fp"], "n_docs": int(g["n_docs"]),
+                 "n_splits": int(g["n_splits"]), "splits": g["splits"],
+                 "example_id": g["example_id"]}
+                for g in groups
+            ]
+            audit_details = D.CheckDetails(
+                issue_breakdown=[(str(s), c) for s, c in by_split],
+                issue_examples=[],
+                dup_source_keys_examples=tuple(
+                    (g["text_fp"],) for g in groups),
+                dup_target_keys_examples=(),
+                source_only_keys_examples=(),
+                target_only_keys_examples=(),
+                evaluated_columns=[id_column, text_column, split_column],
+            )
+            report = text_report
+            if fmt == "json":
+                report = check_result_json(
+                    run_id=run_id, check_type="split_leakage", status=status,
+                    check_name=name, report=text_report,
+                    source_table=source_table if isinstance(source_table, str) else None,
+                    timezone=self.timezone, stats=stats, details=details,
+                )
+            timings.finish_run()
+            self._persist(
+                run_id=run_id, check_type="split_leakage", status=status,
+                check_name=name, source_table=source_table,
+                report=text_report, timings=timings, details=audit_details,
+                stats_overrides={"final_score": stats["final_score"]},
+            )
+            self._track(status, source_table)
+            _LOG.info(
+                "check_split_leakage run_id=%s status=%s leaked_pct=%.4f",
+                run_id, status, leaked_pct,
+            )
+            return status, report, stats, details
+        except Exception as exc:
+            report = f"check failed with error: {exc}"
+            timings.finish_run()
+            self._persist(
+                run_id=run_id, check_type="split_leakage",
+                status=D.CHECK_FAILED,
+                check_name=check_name or "check_split_leakage",
+                source_table=source_table,
+                report=report, timings=timings,
+            )
+            self._track(D.CHECK_FAILED, source_table)
+            return D.CHECK_FAILED, report, None, None
+        finally:
+            if leaked is not None:
+                leaked.unpersist()
+
     def check_custom_queries(
         self,
         source_query: str,
@@ -1566,7 +1727,7 @@ class QualityChecker:
 
     # ------------------------------------------------------------- suite --
 
-    #: config ``type`` -> method name, the nine check families
+    #: config ``type`` -> method name, the ten check families
     SUITE_TYPES = {
         "samples": "check_samples",
         "counts": "check_counts",
@@ -1577,6 +1738,7 @@ class QualityChecker:
         "referential": "check_referential",
         "freshness": "check_freshness",
         "uniqueness": "check_uniqueness",
+        "split_leakage": "check_split_leakage",
     }
 
     def run_suite(self, checks: list[dict]) -> dict:

@@ -197,28 +197,35 @@ def token_budget_mixture(
     text_col: str,
     weights: dict[str, float],
     budget_tokens: int,
+    allow_upsample: bool = False,
 ) -> DataFrame:
     """Per-source sampling plan to assemble a ``budget_tokens`` mixture
     with relative ``weights`` — the planning half of dataset mixing
     (``corpus.mixture_sample`` is the apply half).
 
     Returns one row per source present in the corpus:
-    ``(source, n_docs, n_tokens, target_tokens, rate_ppm, planned_tokens)``
+    ``(source, n_docs, n_tokens, target_tokens, epochs, rate_ppm,
+    planned_tokens)``
     - ``target_tokens``: floor(budget * weight / sum(weights)), computed
       driver-side so it is an exact integer literal in both engines.
-    - ``rate_ppm``: floor(1e6 * target / n_tokens) capped at 1e6 — the
-      parts-per-million keep rate to feed a deterministic sampler.
-      Pure bigint math (``div``), bit-identical in the DuckDB twin.
-    - ``planned_tokens``: min(target, n_tokens) — what the plan can
-      actually deliver; planned < target exposes an under-supplied
-      source instead of silently under-filling the mixture.
+    - ``epochs`` / ``rate_ppm``: with ``allow_upsample=False`` (default)
+      epochs is always 0 and rate_ppm = floor(1e6 * target / n_tokens)
+      capped at 1e6 — a short source under-fills its slot. With
+      ``allow_upsample=True`` an under-supplied source REPEATS:
+      epochs = target div n_tokens full passes plus a fractional pass of
+      rate_ppm = floor(1e6 * (target mod n_tokens) / n_tokens) — how
+      production mixtures actually treat high-weight small corpora
+      (Wikipedia at multiple epochs in LLaMA/GPT-3-style recipes).
+      Pure bigint math (``div``/``%``), bit-identical in the DuckDB twin.
+    - ``planned_tokens``: what the plan delivers — min(target, n_tokens)
+      when capped (shortfall visible), exactly target when upsampling.
 
     Sources WITHOUT a weight get target 0 / rate 0 but still appear in
     the output — visible, not silently kept (the least(NULL, 1.0)
     mixture_sample trap, caught in r3, is exactly the failure mode this
     avoids). A null source is likewise reported with rate 0. Sources
-    with zero tokens (all-null/blank texts) get rate_ppm 0 — there is
-    nothing to sample.
+    with zero tokens (all-null/blank texts) get epochs/rate 0 — there is
+    nothing to sample or repeat.
     """
     if budget_tokens < 0:
         raise ValueError("budget_tokens must be >= 0")
@@ -243,20 +250,30 @@ def token_budget_mixture(
         target = F.when(cond, F.lit(t)) if target is None else target.when(cond, F.lit(t))
     target = F.lit(0) if target is None else target.otherwise(F.lit(0))
     out = per_source.withColumn("target_tokens", target.cast("bigint"))
-    return out.select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        "target_tokens",
-        F.when(
-            F.col("n_tokens") > 0,
+    has_tokens = F.col("n_tokens") > 0
+    if allow_upsample:
+        epochs = F.when(has_tokens, F.expr("target_tokens div n_tokens"))
+        rate = F.when(
+            has_tokens,
+            F.expr(f"((target_tokens % n_tokens) * {_PPM}) div n_tokens"),
+        )
+        planned = F.when(has_tokens, F.col("target_tokens")).otherwise(F.lit(0))
+    else:
+        epochs = F.lit(0)
+        rate = F.when(
+            has_tokens,
             F.least(
                 F.lit(_PPM).cast("bigint"),
                 F.expr(f"(target_tokens * {_PPM}) div n_tokens"),
             ),
         )
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("rate_ppm"),
-        F.least(F.col("target_tokens"), F.col("n_tokens")).alias("planned_tokens"),
+        planned = F.least(F.col("target_tokens"), F.col("n_tokens"))
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "target_tokens",
+        F.coalesce(epochs, F.lit(0)).cast("bigint").alias("epochs"),
+        F.coalesce(rate, F.lit(0)).cast("bigint").alias("rate_ppm"),
+        planned.cast("bigint").alias("planned_tokens"),
     )

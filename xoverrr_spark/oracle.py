@@ -2526,11 +2526,14 @@ FROM d JOIN s USING (text_fp)
 
 
 def token_budget_mixture_documents() -> str:
-    """Twin of splits.token_budget_mixture: per-source token counts (the
-    ws_token_count twin), driver-computed integer targets as literals in
-    BOTH engines, and pure-bigint floor-division ppm math (DuckDB // ==
-    Spark div for non-negative ints). SUM/COUNT cast to BIGINT (HUGEINT
-    schema-mismatches Spark)."""
+    """Twin of splits.token_budget_mixture(allow_upsample=True): per-source
+    token counts (the ws_token_count twin), driver-computed integer targets
+    as literals in BOTH engines, and pure-bigint floor-division epoch/ppm
+    math (DuckDB // and % == Spark div and % for non-negative ints).
+    Upsample mode so BOTH branches are non-trivial on the testdata: src8
+    (weight 2) targets more tokens than it has -> epochs >= 1 + fractional
+    remainder; the weight-1 sources stay sub-epoch. SUM/COUNT cast to
+    BIGINT (HUGEINT schema-mismatches Spark)."""
     wsum = sum(MIX_WEIGHTS.values())
     targets = {s: int(MIX_BUDGET_TOKENS * w / wsum) for s, w in MIX_WEIGHTS.items()}
     branches = " ".join(f"WHEN '{s}' THEN {t}" for s, t in targets.items())
@@ -2547,9 +2550,12 @@ t AS (
   FROM ps
 )
 SELECT source, n_docs, n_tokens, target_tokens,
+       CAST(CASE WHEN n_tokens > 0 THEN target_tokens // n_tokens
+                 ELSE 0 END AS BIGINT) AS epochs,
        CAST(CASE WHEN n_tokens > 0
-                 THEN least(1000000, (target_tokens * 1000000) // n_tokens)
+                 THEN ((target_tokens % n_tokens) * 1000000) // n_tokens
                  ELSE 0 END AS BIGINT) AS rate_ppm,
-       least(target_tokens, n_tokens) AS planned_tokens
+       CAST(CASE WHEN n_tokens > 0 THEN target_tokens ELSE 0 END
+            AS BIGINT) AS planned_tokens
 FROM t
 """
