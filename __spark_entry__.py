@@ -1557,6 +1557,35 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assemble_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end assembly recipe (splits.assemble_dataset) over the
+    mirrored corpus: deterministic split -> cross-split leakage
+    quarantine (TRAIN copies of leaked groups dropped, eval copies kept
+    — the Brown et al. 2020 decontamination direction) -> token-budget
+    plan over the quarantined train split -> independent-hash sampling.
+    One persisted split-assigned frame feeds all four consumers."""
+    from xoverrr_spark.operators.splits import assemble_dataset
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % oracle.SPLIT_MIRROR_MOD == 0).select(
+            (F.col("doc_id") + oracle.SPLIT_MIRROR_OFFSET).alias("doc_id"),
+            "text",
+            "source",
+        )
+    )
+    return assemble_dataset(
+        corpus,
+        "doc_id",
+        "text",
+        "source",
+        oracle.SPLIT_FRACTIONS,
+        oracle.MIX_WEIGHTS,
+        oracle.MIX_BUDGET_TOKENS,
+        seed=oracle.SPLIT_SEED,
+    )
+
+
 # -------------------------------------------------------------- contract ----
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1610,7 +1639,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_lineitem": q_salted_join_lineitem,
         # --- dedup chain ------------------------------------------------
         "exact_dedup_documents": q_exact_dedup,
-        "exact_dedup_survivors_documents": q_exact_dedup_survivors,
         "minhash_signatures_documents": q_minhash_signatures,
         "lsh_candidates_documents": q_lsh_candidates,
         "lsh_bucket_stats_documents": q_lsh_bucket_stats,
@@ -1646,6 +1674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assignment_documents": q_split_assignment,
         "split_leakage_documents": q_split_leakage,
         "token_budget_mixture_documents": q_token_budget_mixture,
+        # batch-5b: the composed assembly recipe goes in-window too
+        # (exact_dedup_survivors, r4-green, slides to the tail)
+        "assemble_dataset_documents": q_assemble_dataset,
         # ================= driver gate cut-off (50) =====================
         # (the cut-off marker sat four rows too low until round-5 batch-4
         # — recounted, then four batch-4 queries each slid it one row;
@@ -1653,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # swept every round)
         "pack_documents": q_pack_documents,
         "chunk_documents": q_chunk_documents,
+        "exact_dedup_survivors_documents": q_exact_dedup_survivors,
         "source_cap_hash_documents": q_source_cap_hash,
         "quality_top_fraction_documents": q_quality_top_fraction,
         # --- embeddings -------------------------------------------------
@@ -1783,6 +1815,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assignment_documents": oracle.split_assignment_documents(),
         "split_leakage_documents": oracle.split_leakage_documents(),
         "token_budget_mixture_documents": oracle.token_budget_mixture_documents(),
+        "assemble_dataset_documents": oracle.assemble_dataset_documents(),
         "range_count_events": oracle.range_count_events(),
         "quality_top_fraction_documents": oracle.quality_top_fraction_documents(),
         "mixture_sample_documents": oracle.mixture_sample_documents(),

@@ -210,3 +210,60 @@ def test_token_budget_mixture_validation(spark):
     # zero budget: all targets 0, no division blowups
     out = token_budget_mixture(df, "source", "text", {"web": 1.0}, 0).collect()
     assert all(r["rate_ppm"] == 0 for r in out)
+
+
+def test_assemble_dataset_quarantine_direction_and_budget(spark):
+    from xoverrr_spark.operators.dedup import release_intermediates
+    from xoverrr_spark.operators.splits import assemble_dataset, assign_splits
+
+    # 60 docs over 3 sources; doc 0..59. Make doc 7's text duplicate
+    # doc 8's (independent hash streams decide their splits).
+    rows = []
+    for i in range(60):
+        text = "dup leak text" if i in (7, 8) else f"doc {i} body " + "w " * i
+        rows.append(Row(doc_id=i, text=text, source=f"s{i % 3}"))
+    df = spark.createDataFrame(rows)
+    fr = {"train": 0.5, "val": 0.25, "test": 0.25}
+    weights = {"s0": 1.0, "s1": 1.0}  # s2 unweighted -> sampled out visibly
+    out = assemble_dataset(df, "doc_id", "text", "source", fr, weights, 10_000, seed=5)
+    rows_out = out.collect()
+    released = release_intermediates(out)
+    assert released == 1  # the persisted split-assigned corpus
+
+    splits = {r["doc_id"]: r["split"] for r in
+              assign_splits(df, "doc_id", fr, seed=5).collect()}
+    got = {(r["doc_id"], r["split"]) for r in rows_out}
+    # quarantine: if 7 and 8 landed in different splits, the TRAIN copy
+    # is dropped and the eval copy kept
+    if splits[7] != splits[8]:
+        for d in (7, 8):
+            if splits[d] == "train":
+                assert (d, "train") not in got
+            else:
+                assert (d, splits[d]) in got
+    # budget 10k >> supply: every weighted-train doc survives sampling
+    for d, s in splits.items():
+        if s == "train" and d not in (7, 8):
+            src = f"s{d % 3}"
+            assert ((d, "train") in got) == (src in weights)
+    # eval splits are never sampled: all non-leaked val/test docs present
+    for d, s in splits.items():
+        if s != "train" and d not in (7, 8):
+            assert (d, s) in got
+
+
+def test_assemble_dataset_deterministic(spark):
+    from xoverrr_spark.operators.dedup import release_intermediates
+    from xoverrr_spark.operators.splits import assemble_dataset
+
+    df = spark.range(200).selectExpr(
+        "id AS doc_id", "concat('text ', id) AS text",
+        "concat('s', id % 4) AS source")
+    fr = {"train": 0.8, "val": 0.2}
+    w = {"s0": 1.0, "s1": 1.0, "s2": 1.0, "s3": 1.0}
+    a = assemble_dataset(df.repartition(3), "doc_id", "text", "source", fr, w, 300, seed=9)
+    b = assemble_dataset(df.repartition(11), "doc_id", "text", "source", fr, w, 300, seed=9)
+    ra = sorted((r["doc_id"], r["split"]) for r in a.collect())
+    rb = sorted((r["doc_id"], r["split"]) for r in b.collect())
+    release_intermediates(a); release_intermediates(b)
+    assert ra == rb and len(ra) > 0

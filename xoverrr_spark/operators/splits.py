@@ -277,3 +277,91 @@ def token_budget_mixture(
         F.coalesce(rate, F.lit(0)).cast("bigint").alias("rate_ppm"),
         planned.cast("bigint").alias("planned_tokens"),
     )
+
+
+def assemble_dataset(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    fractions: dict[str, float],
+    weights: dict[str, float],
+    budget_tokens: int,
+    seed: int = 0,
+    train_split: str = "train",
+) -> DataFrame:
+    """End-to-end dataset assembly recipe: deterministic split ->
+    cross-split leakage quarantine -> token-budget sampling of the
+    training split. Returns ``(id_col, split, source_col)`` for every
+    document in the assembled dataset — all eval-split survivors plus
+    the budget-sampled training survivors. The composition analogue of
+    the curate_documents recipes, for the assembly stage.
+
+    Quarantine policy: for every duplicate group that spans splits, the
+    TRAINING copies are dropped and the eval copies kept — eval sets are
+    the contract you can't change after the fact; the training set is
+    the side you re-cut (the standard decontamination direction: Brown
+    et al. 2020 appendix C removes TRAIN documents colliding with
+    benchmarks, not the reverse).
+
+    The budget plan is computed AFTER quarantine (you sample from what
+    you may train on), in capped mode — assembly emits each kept doc
+    once; epoch-level repetition (allow_upsample) belongs to the data
+    loader, not the materialized dataset. Sampling uses an independent
+    hash stream (md5_long('sample:seed:id')) so sampling is uncorrelated
+    with split assignment.
+
+    Null discipline: the quarantine anti-join and the per-source rate
+    join are both null-safe (a null-id training leak must still be
+    dropped; null-source docs match the plan's null-source rate-0 row
+    and drop out visibly rather than erroring).
+
+    Plan shape: the split-assigned corpus is persisted ONCE (it feeds
+    the leakage audit twice, the training branch, and the eval branch —
+    without the cache the scan+fingerprint would run 5x); the leaked-id
+    and rate frames are tiny and broadcast. The caller frees the cache
+    with ``dedup.release_intermediates(result)`` after materializing.
+    """
+    own = assign_splits(df, id_col, fractions, seed=seed).persist()
+    leaked = split_leakage(own, id_col, text_col, "split")
+    # alias the quarantine key: drop_train derives from `own`, so joining
+    # on own[id] == drop_train[id] is the classic self-join attribute
+    # ambiguity (Spark warns "trivially true predicate") — a renamed
+    # column is unambiguous by construction
+    drop_train = (
+        leaked.filter(F.col("split") == train_split)
+        .select(F.col(id_col).alias("_drop_id"))
+        .distinct()
+    )
+    clean = own.join(
+        drop_train,
+        on=F.col(id_col).eqNullSafe(F.col("_drop_id")),
+        how="left_anti",
+    )
+    train = clean.filter(F.col("split") == train_split)
+    plan = token_budget_mixture(
+        train, source_col, text_col, weights, budget_tokens
+    ).select(F.col("source").alias("_plan_src"), "rate_ppm")
+    sample_key = F.concat(
+        F.lit(f"sample:{seed}:"),
+        F.coalesce(F.col(id_col).cast("string"), F.lit(NULL_ID_SENTINEL)),
+    )
+    sampled_train = (
+        train.join(
+            plan,
+            on=F.col(source_col).eqNullSafe(F.col("_plan_src")),
+            how="left",
+        )
+        .filter(
+            (md5_long(sample_key) % _PPM) < F.coalesce(F.col("rate_ppm"), F.lit(0))
+        )
+        .select(id_col, "split", source_col)
+    )
+    out = (
+        clean.filter(F.col("split") != train_split)
+        .select(id_col, "split", source_col)
+        .unionByName(sampled_train)
+    )
+    from .dedup import _attach_intermediates
+
+    return _attach_intermediates(out, [own])

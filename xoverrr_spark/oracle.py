@@ -2559,3 +2559,70 @@ SELECT source, n_docs, n_tokens, target_tokens,
             AS BIGINT) AS planned_tokens
 FROM t
 """
+
+
+def assemble_dataset_documents() -> str:
+    """Twin of splits.assemble_dataset over the mirrored corpus: split
+    CASE -> leaked fingerprints (>=2 distinct splits) -> TRAIN copies
+    quarantined (null-safe anti join) -> token-budget plan over the
+    quarantined train split (capped mode) -> independent-stream sample
+    hash ('sample:seed:id') -> eval survivors UNION sampled train."""
+    from .operators.splits import split_case_sql
+
+    case = split_case_sql("doc_id", SPLIT_FRACTIONS, SPLIT_SEED)
+    wsum = sum(MIX_WEIGHTS.values())
+    targets = {s: int(MIX_BUDGET_TOKENS * w / wsum) for s, w in MIX_WEIGHTS.items()}
+    branches = " ".join(f"WHEN '{s}' THEN {t}" for s, t in targets.items())
+    sample_h = (
+        "(('0x' || substr(md5(('sample:" + str(SPLIT_SEED) + ":' || "
+        "COALESCE(CAST(doc_id AS VARCHAR), chr(0) || '<null-id>'))), 1, 15))"
+        "::BIGINT)"
+    )
+    return rf"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + {SPLIT_MIRROR_OFFSET} AS doc_id, text, source
+  FROM documents WHERE doc_id % {SPLIT_MIRROR_MOD} = 0
+),
+d AS (
+  SELECT doc_id, {case} AS split, source, text, {_FP_SQL} AS text_fp
+  FROM corpus
+),
+p AS (SELECT DISTINCT text_fp, split FROM d),
+s AS (SELECT text_fp FROM p GROUP BY text_fp HAVING COUNT(*) >= 2),
+drop_train AS (
+  SELECT DISTINCT doc_id FROM d SEMI JOIN s USING (text_fp)
+  WHERE split = 'train'
+),
+clean AS (
+  SELECT d.* FROM d ANTI JOIN drop_train t
+  ON d.doc_id IS NOT DISTINCT FROM t.doc_id
+),
+train AS (SELECT * FROM clean WHERE split = 'train'),
+ps AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END)
+              AS BIGINT) AS n_tokens
+  FROM train GROUP BY source
+),
+plan AS (
+  SELECT source,
+         CAST(CASE WHEN n_tokens > 0
+                   THEN least(1000000,
+                        (CAST(CASE source {branches} ELSE 0 END AS BIGINT)
+                         * 1000000) // n_tokens)
+                   ELSE 0 END AS BIGINT) AS rate_ppm
+  FROM ps
+),
+samp AS (
+  SELECT tr.doc_id, tr.split, tr.source
+  FROM train tr LEFT JOIN plan pl
+    ON tr.source IS NOT DISTINCT FROM pl.source
+  WHERE ({sample_h} % 1000000) < COALESCE(pl.rate_ppm, 0)
+)
+SELECT doc_id, split, source FROM clean WHERE split <> 'train'
+UNION ALL
+SELECT doc_id, split, source FROM samp
+"""
