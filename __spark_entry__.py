@@ -1586,6 +1586,28 @@ def q_assemble_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split NEAR-duplicate leakage (splits.near_dup_pair_leakage):
+    minhash-verified near-dup pairs joined to the deterministic split
+    assignment, keeping pairs that straddle splits — the GPT-3-style
+    near-dup decontamination audit (exact-dup leakage alone misses
+    templated/lightly-edited contamination). Detector params match
+    minhash_near_dups_documents; split params match
+    split_assignment_documents."""
+    from xoverrr_spark.operators.dedup import _attach_intermediates, minhash_near_dups
+    from xoverrr_spark.operators.splits import assign_splits, near_dup_pair_leakage
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(d, "doc_id", "text", jaccard_threshold=0.5)
+    # persisted caches don't ride derived frames — collect BEFORE deriving
+    inner = list(getattr(pairs, "_xoverrr_intermediates", ()))
+    splits_df = assign_splits(
+        d.select("doc_id"), "doc_id", oracle.SPLIT_FRACTIONS, seed=oracle.SPLIT_SEED
+    )
+    out = near_dup_pair_leakage(pairs, splits_df, "doc_id", "split")
+    return _attach_intermediates(out, inner)
+
+
 # -------------------------------------------------------------- contract ----
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1685,6 +1707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "chunk_documents": q_chunk_documents,
         "exact_dedup_survivors_documents": q_exact_dedup_survivors,
+        # batch-5d: near-dup cross-split leakage (composition of two
+        # in-window queries: minhash_near_dups x split_assignment)
+        "near_dup_split_leakage_documents": q_near_dup_split_leakage,
         "source_cap_hash_documents": q_source_cap_hash,
         "quality_top_fraction_documents": q_quality_top_fraction,
         # --- embeddings -------------------------------------------------
@@ -1816,6 +1841,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_documents": oracle.split_leakage_documents(),
         "token_budget_mixture_documents": oracle.token_budget_mixture_documents(),
         "assemble_dataset_documents": oracle.assemble_dataset_documents(),
+        "near_dup_split_leakage_documents": oracle.near_dup_split_leakage_documents(),
         "range_count_events": oracle.range_count_events(),
         "quality_top_fraction_documents": oracle.quality_top_fraction_documents(),
         "mixture_sample_documents": oracle.mixture_sample_documents(),

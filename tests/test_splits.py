@@ -267,3 +267,24 @@ def test_assemble_dataset_deterministic(spark):
     rb = sorted((r["doc_id"], r["split"]) for r in b.collect())
     release_intermediates(a); release_intermediates(b)
     assert ra == rb and len(ra) > 0
+
+
+def test_near_dup_pair_leakage_detector_agnostic(spark):
+    from xoverrr_spark.operators.splits import near_dup_pair_leakage
+
+    pairs = spark.createDataFrame(
+        [
+            Row(doc_a=1, doc_b=2, jaccard=0.9),   # cross-split -> kept
+            Row(doc_a=3, doc_b=4, jaccard=0.8),   # same split -> dropped
+            Row(doc_a=1, doc_b=99, jaccard=0.7),  # 99 unattributable -> dropped
+        ]
+    )
+    splits = spark.createDataFrame(
+        [Row(doc_id=1, split="train"), Row(doc_id=2, split="test"),
+         Row(doc_id=3, split="val"), Row(doc_id=4, split="val")]
+    )
+    out = near_dup_pair_leakage(pairs, splits, "doc_id", "split").collect()
+    assert [(r["doc_a"], r["doc_b"], r["split_a"], r["split_b"]) for r in out] == [
+        (1, 2, "train", "test")
+    ]
+    assert out[0]["jaccard"] == 0.9  # detector columns ride through

@@ -365,3 +365,44 @@ def assemble_dataset(
     from .dedup import _attach_intermediates
 
     return _attach_intermediates(out, [own])
+
+
+def near_dup_pair_leakage(
+    pairs: DataFrame,
+    splits_df: DataFrame,
+    id_col: str,
+    split_col: str,
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+) -> DataFrame:
+    """Cross-split NEAR-duplicate leakage: from any near-dup pair frame
+    (``dedup.minhash_near_dups``, ``simhash_near_dups``,
+    ``similarity.embedding_near_dup_pairs`` — anything with two id
+    columns), keep the pairs whose two documents sit in DIFFERENT
+    splits of ``splits_df``.
+
+    ``split_leakage`` catches byte-identical copies; real eval
+    contamination is mostly NEAR-duplicate (GPT-3's 13-gram overlap
+    decontamination, Brown et al. 2020 appendix C; The Pile and Llama
+    card analyses both report near-dup benchmark overlap) — this is the
+    detector-agnostic audit for that. Output: the pair frame's columns
+    plus ``split_a``/``split_b``.
+
+    Plan: two hash equi-joins of the (small) pair frame against the
+    (id, split) projection — the corpus itself is never joined to
+    itself here; the detector already did the banding. Null-safe join
+    keys so a null-id doc (which assign_splits places deterministically)
+    still attributes; pairs with an id absent from ``splits_df`` are
+    dropped by the inner join — a pair you cannot attribute to splits
+    is a detector/corpus mismatch the caller should fix, not silently
+    score.
+    """
+    s = splits_df.select(F.col(id_col), F.col(split_col))
+    a = s.select(F.col(id_col).alias("_sa_id"), F.col(split_col).alias("split_a"))
+    b = s.select(F.col(id_col).alias("_sb_id"), F.col(split_col).alias("split_b"))
+    return (
+        pairs.join(a, on=F.col(left_col).eqNullSafe(F.col("_sa_id")), how="inner")
+        .join(b, on=F.col(right_col).eqNullSafe(F.col("_sb_id")), how="inner")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .drop("_sa_id", "_sb_id")
+    )

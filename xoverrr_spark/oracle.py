@@ -2626,3 +2626,21 @@ SELECT doc_id, split, source FROM clean WHERE split <> 'train'
 UNION ALL
 SELECT doc_id, split, source FROM samp
 """
+
+
+def near_dup_split_leakage_documents() -> str:
+    """Twin of splits.near_dup_pair_leakage over the minhash detector:
+    the full minhash_near_dups pair query as a subquery, each side joined
+    to the split CASE, keeping split-straddling pairs."""
+    from .operators.splits import split_case_sql
+
+    case = split_case_sql("doc_id", SPLIT_FRACTIONS, SPLIT_SEED)
+    nd = minhash_near_dups_documents().strip()
+    return f"""
+WITH s AS (SELECT doc_id, {case} AS split FROM documents)
+SELECT nd.doc_a, nd.doc_b, nd.jaccard, sa.split AS split_a, sb.split AS split_b
+FROM ({nd}) nd
+JOIN s sa ON nd.doc_a IS NOT DISTINCT FROM sa.doc_id
+JOIN s sb ON nd.doc_b IS NOT DISTINCT FROM sb.doc_id
+WHERE sa.split <> sb.split
+"""
