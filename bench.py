@@ -267,6 +267,7 @@ OPERATOR_QUERY_NAMES = [
     "asof_events", "range_count_events", "repetition_stats_documents",
     "curate_documents_v2",
     "mixture_sample_documents", "quality_top_fraction_documents",
+    "assemble_dataset_documents",
 ]
 
 
