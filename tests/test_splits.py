@@ -288,3 +288,35 @@ def test_near_dup_pair_leakage_detector_agnostic(spark):
         (1, 2, "train", "test")
     ]
     assert out[0]["jaccard"] == 0.9  # detector columns ride through
+
+
+def test_token_budget_mixture_rejects_mixed_sign_weights(spark):
+    # a negative weight deflates sum(weights) and silently INFLATES every
+    # other source's target — must raise even when the sum stays positive
+    df = _mix_fixture(spark)
+    with pytest.raises(ValueError, match="negative"):
+        token_budget_mixture(
+            df, "source", "text", {"web": 1.0, "books": -0.5}, 100)
+
+
+def test_near_dup_pair_leakage_null_split_is_cross_split(spark):
+    from xoverrr_spark.operators.splits import near_dup_pair_leakage
+
+    pairs = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=3, doc_b=4)])
+    splits = spark.createDataFrame(
+        [Row(doc_id=1, split=None), Row(doc_id=2, split="train"),
+         Row(doc_id=3, split=None), Row(doc_id=4, split=None)],
+        "doc_id bigint, split string",
+    )
+    out = near_dup_pair_leakage(pairs, splits, "doc_id", "split").collect()
+    # null vs 'train' IS a cross-split pair (unknown split != train);
+    # null vs null is not
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
+
+
+def test_split_thresholds_rejects_unrepresentable_fraction():
+    # a fraction so small it rounds to zero 60-bit width would create a
+    # silently unreachable split — raise at plan time instead
+    with pytest.raises(ValueError, match="unreachable"):
+        split_thresholds({"a": 0.5, "b": 1e-22, "c": 0.5})

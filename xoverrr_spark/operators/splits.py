@@ -76,6 +76,16 @@ def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
         cum += fractions[name]
         out.append((name, int(round(cum * SPLIT_SPACE))))
     out.append((names[-1], SPLIT_SPACE))
+    # strictly increasing thresholds, or a fraction rounded to zero 60-bit
+    # width and its split is silently unreachable — raise at plan time
+    prev = 0
+    for name, t in out:
+        if t <= prev:
+            raise ValueError(
+                f"split {name!r} is unreachable: fraction too small to be "
+                "representable in the 60-bit hash space"
+            )
+        prev = t
     return out
 
 
@@ -234,6 +244,12 @@ def token_budget_mixture(
             f"budget_tokens too large for exact ppm math (max {_MAX_BUDGET}); "
             "plan in units of 1k tokens instead"
         )
+    negative = {s: w for s, w in weights.items() if w < 0}
+    if negative:
+        # a negative weight deflates sum(weights) and silently INFLATES
+        # every other source's target — reject even when the sum stays
+        # positive
+        raise ValueError(f"weights must be non-negative, got {negative}")
     wsum = sum(weights.values()) if weights else 0.0
     if weights and wsum <= 0:
         raise ValueError("weights must sum to a positive value")
@@ -403,6 +419,9 @@ def near_dup_pair_leakage(
     return (
         pairs.join(a, on=F.col(left_col).eqNullSafe(F.col("_sa_id")), how="inner")
         .join(b, on=F.col(right_col).eqNullSafe(F.col("_sb_id")), how="inner")
-        .filter(F.col("split_a") != F.col("split_b"))
+        # null-safe inequality: with a caller-provided splits_df a null
+        # split vs 'train' IS cross-split (plain != returns null and the
+        # filter would silently drop the pair); null vs null is not
+        .filter(~F.col("split_a").eqNullSafe(F.col("split_b")))
         .drop("_sa_id", "_sb_id")
     )

@@ -2642,5 +2642,5 @@ SELECT nd.doc_a, nd.doc_b, nd.jaccard, sa.split AS split_a, sb.split AS split_b
 FROM ({nd}) nd
 JOIN s sa ON nd.doc_a IS NOT DISTINCT FROM sa.doc_id
 JOIN s sb ON nd.doc_b IS NOT DISTINCT FROM sb.doc_id
-WHERE sa.split <> sb.split
+WHERE sa.split IS DISTINCT FROM sb.split
 """
