@@ -1608,6 +1608,18 @@ def q_near_dup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _attach_intermediates(out, inner)
 
 
+def q_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-keyed split (splits.assign_splits with the SOURCE column as
+    the hash key): every document of a source lands in the same split —
+    the standard defense against intra-domain near-dup leakage (two
+    scrapes of one site can never straddle the eval boundary). Fractions
+    apply to groups, not documents."""
+    from xoverrr_spark.operators.splits import assign_splits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return assign_splits(d, "source", oracle.SPLIT_FRACTIONS, seed=oracle.SPLIT_SEED)
+
+
 # -------------------------------------------------------------- contract ----
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1710,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch-5d: near-dup cross-split leakage (composition of two
         # in-window queries: minhash_near_dups x split_assignment)
         "near_dup_split_leakage_documents": q_near_dup_split_leakage,
+        "split_by_source_documents": q_split_by_source,
         "source_cap_hash_documents": q_source_cap_hash,
         "quality_top_fraction_documents": q_quality_top_fraction,
         # --- embeddings -------------------------------------------------
@@ -1842,6 +1855,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_mixture_documents": oracle.token_budget_mixture_documents(),
         "assemble_dataset_documents": oracle.assemble_dataset_documents(),
         "near_dup_split_leakage_documents": oracle.near_dup_split_leakage_documents(),
+        "split_by_source_documents": oracle.split_by_source_documents(),
         "range_count_events": oracle.range_count_events(),
         "quality_top_fraction_documents": oracle.quality_top_fraction_documents(),
         "mixture_sample_documents": oracle.mixture_sample_documents(),

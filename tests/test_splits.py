@@ -320,3 +320,16 @@ def test_split_thresholds_rejects_unrepresentable_fraction():
     # silently unreachable split — raise at plan time instead
     with pytest.raises(ValueError, match="unreachable"):
         split_thresholds({"a": 0.5, "b": 1e-22, "c": 0.5})
+
+
+def test_assign_splits_group_keyed_never_straddles(spark):
+    # key on the GROUP column: every doc of a source shares a split
+    df = spark.range(300).selectExpr("id AS doc_id", "concat('s', id % 7) AS source")
+    out = assign_splits(df, "source", FR, seed=2)
+    assert out.groupBy("source").agg(
+        F.countDistinct("split").alias("k")).filter("k > 1").count() == 0
+
+
+def test_split_case_sql_escapes_quotes():
+    sql = split_case_sql("doc_id", {"tr'ain": 0.5, "test": 0.5}, seed=0)
+    assert "'tr''ain'" in sql  # quote-doubled, not a broken literal

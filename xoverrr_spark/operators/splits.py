@@ -119,6 +119,14 @@ def assign_splits(
     null-key discipline as exact_dedup's fingerprint sentinel).
     Exhaustive + disjoint by construction: the when-chain tests
     cumulative thresholds in order and the last split catches the rest.
+
+    GROUP-keyed splitting: pass a group column (source/domain/url-host)
+    as ``id_col`` and every document of a group lands in the SAME split
+    — the standard defense against intra-domain near-duplicate leakage
+    (per-doc splitting puts two scrapes of one site on both sides of
+    the eval boundary; splitting by the domain key makes that
+    impossible by construction). The fractions then apply to GROUPS,
+    not documents, so doc-level proportions track group sizes.
     """
     if split_col in df.columns:
         raise ValueError(f"column {split_col!r} already exists in the input")
@@ -137,17 +145,23 @@ def assign_splits(
     return df.withColumn(split_col, expr)
 
 
+def _sql_str(s: str) -> str:
+    """Single-quoted SQL string literal with quote doubling — a split or
+    source name containing a quote must not break the generated twin."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def split_case_sql(id_expr: str, fractions: dict[str, float], seed: int = 0) -> str:
     """DuckDB CASE expression computing the identical split assignment
     (same md5 input string, same 60-bit parse, same integer thresholds)."""
     ths = split_thresholds(fractions)
     h = md5_long_sql(_split_key_sql_duckdb(id_expr, seed))
     if len(ths) == 1:
-        return f"'{ths[0][0]}'"
+        return _sql_str(ths[0][0])
     branches = " ".join(
-        f"WHEN {h} < {t} THEN '{name}'" for name, t in ths[:-1]
+        f"WHEN {h} < {t} THEN {_sql_str(name)}" for name, t in ths[:-1]
     )
-    return f"(CASE {branches} ELSE '{ths[-1][0]}' END)"
+    return f"(CASE {branches} ELSE {_sql_str(ths[-1][0])} END)"
 
 
 def split_leakage(

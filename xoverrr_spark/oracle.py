@@ -2536,7 +2536,9 @@ def token_budget_mixture_documents() -> str:
     BIGINT (HUGEINT schema-mismatches Spark)."""
     wsum = sum(MIX_WEIGHTS.values())
     targets = {s: int(MIX_BUDGET_TOKENS * w / wsum) for s, w in MIX_WEIGHTS.items()}
-    branches = " ".join(f"WHEN '{s}' THEN {t}" for s, t in targets.items())
+    from .operators.splits import _sql_str
+
+    branches = " ".join(f"WHEN {_sql_str(s)} THEN {t}" for s, t in targets.items())
     return rf"""
 WITH ps AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2572,7 +2574,9 @@ def assemble_dataset_documents() -> str:
     case = split_case_sql("doc_id", SPLIT_FRACTIONS, SPLIT_SEED)
     wsum = sum(MIX_WEIGHTS.values())
     targets = {s: int(MIX_BUDGET_TOKENS * w / wsum) for s, w in MIX_WEIGHTS.items()}
-    branches = " ".join(f"WHEN '{s}' THEN {t}" for s, t in targets.items())
+    from .operators.splits import _sql_str
+
+    branches = " ".join(f"WHEN {_sql_str(s)} THEN {t}" for s, t in targets.items())
     sample_h = (
         "(('0x' || substr(md5(('sample:" + str(SPLIT_SEED) + ":' || "
         "COALESCE(CAST(doc_id AS VARCHAR), chr(0) || '<null-id>'))), 1, 15))"
@@ -2644,3 +2648,12 @@ JOIN s sa ON nd.doc_a IS NOT DISTINCT FROM sa.doc_id
 JOIN s sb ON nd.doc_b IS NOT DISTINCT FROM sb.doc_id
 WHERE sa.split IS DISTINCT FROM sb.split
 """
+
+
+def split_by_source_documents() -> str:
+    """Twin of the group-keyed split: the same CASE over the SOURCE
+    column — all docs of a source share a split by construction."""
+    from .operators.splits import split_case_sql
+
+    case = split_case_sql("source", SPLIT_FRACTIONS, SPLIT_SEED)
+    return f"SELECT doc_id, source, {case} AS split FROM documents\n"
