@@ -181,3 +181,54 @@ def test_full_dedup_writes_kept_corpus(spark, tmp_path):
     assert set(kept.columns) == set(doubled.columns)   # FULL rows
     # every exact clone pair collapsed to one survivor
     assert kept.count() <= d.count() + 50
+
+
+def test_staged_dedup_with_assembly_stages(spark, tmp_path):
+    import pytest
+
+    from xoverrr_spark.operators.splits import assign_splits
+
+    out = str(tmp_path / "dedup_splits")
+    docs = _docs(spark)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    # config errors raise BEFORE any stage runs
+    with pytest.raises(ValueError):
+        run_dedup(spark, docs, str(tmp_path / "bad"), log=lambda *_: None,
+                  split_fractions={"train": 0.5})
+    assert not os.path.exists(str(tmp_path / "bad" / "signatures"))
+
+    summary = run_dedup(
+        spark, docs, out, jaccard_threshold=0.8, log=lambda *_: None,
+        split_fractions=fr, split_seed=7,
+    )
+    for stage in ("splits", "split_leakage"):
+        assert os.path.exists(os.path.join(out, stage, "_SUCCESS"))
+    # the staged assignment == direct assign_splits over the kept corpus
+    kept = spark.read.parquet(os.path.join(out, "kept"))
+    direct = {
+        (r["doc_id"], r["split"])
+        for r in assign_splits(kept, "doc_id", fr, seed=7)
+        .select("doc_id", "split").collect()
+    }
+    staged = {
+        (r["doc_id"], r["split"])
+        for r in spark.read.parquet(os.path.join(out, "splits")).collect()
+    }
+    assert staged == direct and len(staged) == summary["kept_docs"]
+    assert sum(summary["split_counts"].values()) == summary["kept_docs"]
+    assert summary["split_seed"] == 7
+    # exact dups were just removed, so residual exact leakage must be 0
+    assert summary["leaked_docs"] == 0
+
+    # resume: all stages (incl. assembly) skip
+    logs = []
+    run_dedup(spark, docs, out, jaccard_threshold=0.8, log=logs.append,
+              split_fractions=fr, split_seed=7)
+    assert sum("skipping" in m for m in logs) == 9  # 7 dedup + 2 assembly
+
+    # without fractions the assembly stages don't exist
+    out2 = str(tmp_path / "dedup_plain")
+    s2 = run_dedup(spark, docs, out2, jaccard_threshold=0.8, log=lambda *_: None)
+    assert not os.path.exists(os.path.join(out2, "splits"))
+    assert "split_counts" not in s2

@@ -72,7 +72,15 @@ def run_dedup(
     max_bucket_size: int | None = D.DEFAULT_MAX_BUCKET,
     resume: bool = True,
     log=print,
+    split_fractions: dict[str, float] | None = None,
+    split_seed: int = 0,
 ) -> dict:
+    if split_fractions is not None:
+        # config errors raise BEFORE any stage runs (not after an hour of
+        # signatures) — same plan-time-validation rule as the checker
+        from ..operators.splits import split_thresholds
+
+        split_thresholds(split_fractions)
     os.makedirs(output_dir, exist_ok=True)
     walls: dict = {}
 
@@ -140,7 +148,51 @@ def run_dedup(
         )
         return docs.join(dropped, id_col, "left_anti")
 
-    _stage("kept", output_dir, resume, _kept, log, walls=walls)
+    kept_p = _stage("kept", output_dir, resume, _kept, log, walls=walls)
+
+    split_summary: dict = {}
+    if split_fractions is not None:
+        # optional assembly stages over the DEDUPED corpus: deterministic
+        # split assignment (compact id->split projection — the corpus is
+        # not rewritten; consumers join or re-derive, the hash is
+        # content-deterministic either way) and the cross-split leakage
+        # audit (near-dups the jaccard threshold let through can still
+        # straddle splits; exact dups can't — they were just removed —
+        # so this audits the RESIDUAL exact leakage a resumed/partial
+        # dedup could leave, and doubles as the wiring a near-dup
+        # leakage pass reuses).
+        from ..operators.splits import assign_splits, split_leakage
+
+        def _splits():
+            kept_rows = spark.read.parquet(kept_p)
+            return assign_splits(
+                kept_rows, id_col, split_fractions, seed=split_seed
+            ).select(id_col, "split")
+
+        _stage("splits", output_dir, resume, _splits, log, walls=walls)
+
+        def _leakage():
+            kept_rows = spark.read.parquet(kept_p)
+            with_split = assign_splits(
+                kept_rows, id_col, split_fractions, seed=split_seed
+            )
+            return split_leakage(with_split, id_col, text_col, "split")
+
+        leak_p = _stage(
+            "split_leakage", output_dir, resume, _leakage, log, walls=walls
+        )
+        split_rows = spark.read.parquet(os.path.join(output_dir, "splits"))
+        split_counts = {
+            r["split"]: int(r["c"])
+            for r in split_rows.groupBy("split").agg(
+                F.count(F.lit(1)).alias("c")).collect()
+        }
+        split_summary = {
+            "split_fractions": split_fractions,
+            "split_seed": split_seed,
+            "split_counts": split_counts,
+            "leaked_docs": spark.read.parquet(leak_p).count(),
+        }
 
     # summary: clustered docs collapse to one survivor each; docs never
     # paired (the vast majority) are implicitly their own survivor
@@ -167,6 +219,7 @@ def run_dedup(
         "audited_cap": max_bucket_size or D.DEFAULT_MAX_BUCKET,
         "over_cap_buckets": int(sum(r["over_cap_buckets"] for r in stats_rows)),
         "over_cap_docs": int(sum(r["over_cap_docs"] for r in stats_rows)),
+        **split_summary,
     }
     with open(os.path.join(output_dir, "dedup_summary.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
@@ -187,6 +240,12 @@ def main(argv=None) -> None:
     ap.add_argument("--max-bucket-size", type=int, default=D.DEFAULT_MAX_BUCKET,
                     help="LSH bucket cap; 0 disables (exact recall, unbounded worst case)")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--split-fractions",
+                    help="optional assembly stage: 'train=0.8,val=0.1,"
+                    "test=0.1' writes a deterministic id->split "
+                    "projection + cross-split leakage audit over the "
+                    "deduped corpus (full mode only)")
+    ap.add_argument("--split-seed", type=int, default=0)
     ap.add_argument("--mode",
                     choices=["full", "build-index", "incremental", "append-delta"],
                     default="full",
@@ -231,6 +290,14 @@ def main(argv=None) -> None:
             resume=not args.no_resume,
         )
     else:
+        fractions = None
+        if args.split_fractions:
+            fractions = {}
+            for part in args.split_fractions.split(","):
+                name, _, frac = part.partition("=")
+                if not _:
+                    ap.error(f"--split-fractions entry {part!r} is not name=frac")
+                fractions[name.strip()] = float(frac)
         summary = run_dedup(
             spark, docs, args.output,
             id_col=args.id_col, text_col=args.text_col,
@@ -238,6 +305,8 @@ def main(argv=None) -> None:
             jaccard_threshold=args.jaccard_threshold,
             max_bucket_size=args.max_bucket_size or None,
             resume=not args.no_resume,
+            split_fractions=fractions,
+            split_seed=args.split_seed,
         )
     print(json.dumps(summary))
 
