@@ -113,3 +113,46 @@ def test_token_budget_mixture_integer_identities(
             assert r["rate_ppm"] == min(_PPM, (target * _PPM) // n)
             assert r["planned_tokens"] == min(target, n)
         assert 0 <= r["rate_ppm"] <= _PPM
+
+
+def _fp_py(text):
+    import re
+    if text is None:
+        return "\x00<null-text>"
+    canon = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip()
+    return hashlib.md5(canon.encode()).hexdigest()
+
+
+_TEXTS = st.one_of(st.none(), st.sampled_from(
+    ["dup one", "DUP   one", "dup two", "unique a", "unique b", "  ", ""]))
+_SPLITS = st.one_of(st.none(), st.sampled_from(["train", "val", "test"]))
+_CORPUS = st.lists(st.tuples(_TEXTS, _SPLITS), min_size=0, max_size=14)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_CORPUS)
+def test_split_leakage_matches_set_replay(spark, corpus):
+    from xoverrr_spark.operators.splits import split_leakage
+
+    rows = [(i, t, s) for i, (t, s) in enumerate(corpus)]
+    df = (spark.createDataFrame(rows, "doc_id bigint, text string, split string")
+          if rows else
+          spark.createDataFrame([], "doc_id bigint, text string, split string"))
+    got = {(r["doc_id"], r["split"], r["n_splits"], r["splits"])
+           for r in split_leakage(df, "doc_id", "text", "split").collect()}
+
+    by_fp = {}
+    for i, (t, s) in enumerate(corpus):
+        by_fp.setdefault(_fp_py(t), set()).add(
+            s if s is not None else "\x00<null-split>")
+    expect = set()
+    for i, (t, s) in enumerate(corpus):
+        spans = by_fp[_fp_py(t)]
+        if len(spans) >= 2:
+            expect.add((i, s if s is not None else "\x00<null-split>",
+                        len(spans), ",".join(sorted(spans))))
+    assert got == expect
