@@ -293,3 +293,34 @@ def test_tpch_shape_twins_plans(spark, sf_dir):
     p21 = _plan(qs["q21_waiting_suppliers"](spark, sf_dir))
     assert "LeftSemi" in p21 and "LeftAnti" in p21, p21
     assert "CartesianProduct" not in p21, p21
+
+
+def test_assign_splits_zero_shuffle(spark, sf_dir):
+    """The split assignment is a pure map — the 'zero shuffle,
+    partitioning-independent' claim, plan-pinned."""
+    from xoverrr_spark.operators.splits import assign_splits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = assign_splits(
+        docs.select("doc_id"), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=1)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint>" in _formatted(df)  # pruned scan
+
+
+def test_split_leakage_broadcasts_spans_two_exchanges(spark, sf_dir):
+    """The leakage audit shuffles only the tiny (fp, split) projection
+    (distinct + groupBy, both map-side combinable); the corpus probe
+    side rides a broadcast join back — never a corpus shuffle."""
+    from xoverrr_spark.operators.splits import assign_splits, split_leakage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_split = assign_splits(
+        docs.select("doc_id", "text"), "doc_id",
+        {"train": 0.8, "val": 0.2}, seed=1)
+    df = split_leakage(with_split, "doc_id", "text", "split")
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
