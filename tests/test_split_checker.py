@@ -139,3 +139,37 @@ def test_check_split_leakage_date_scoped(spark, tmp_path):
         "lk_dated", "doc_id", "text", "split",
         date_column="d", date_range=("2024-01-02", "2024-01-02"))
     assert status_day == "success" and stats_day["leaked_docs"] == 0
+
+
+def test_check_split_leakage_near_dup_widening(spark, tmp_path):
+    _leaky_view(spark, "lk_nd")
+    # near-dup detector output: doc 6 (train) near-dups doc 8 (val) — not
+    # fingerprint-equal, so the exact audit alone misses this leak
+    spark.createDataFrame(
+        [Row(doc_a=6, doc_b=8, jaccard=0.82)]
+    ).createOrReplaceTempView("lk_nd_pairs")
+    qc = QualityChecker(spark, results_table=str(tmp_path / "r"))
+
+    base_status, _, base, _ = qc.check_split_leakage(
+        "lk_nd", "doc_id", "text", "split")
+    assert base["leaked_docs"] == 5 and base["near_dup_leaked_pairs"] == 0
+    assert base["exact_leaked_docs"] == 5
+
+    status, report, stats, _ = qc.check_split_leakage(
+        "lk_nd", "doc_id", "text", "split",
+        near_dup_pairs="lk_nd_pairs")
+    # docs 6 (train) and 8 (val) join the leaked set: 5 exact + 2 near
+    assert stats["near_dup_leaked_pairs"] == 1
+    assert stats["exact_leaked_docs"] == 5
+    assert stats["leaked_docs"] == 7
+    assert stats["leaked_pct"] == 87.5
+    assert stats["leaked_by_split"] == {"train": 3, "test": 2, "val": 2}
+    assert "near-dup widening: 1 split-straddling pairs" in report
+
+    # a same-split near-dup pair widens nothing (6,7 both train)
+    spark.createDataFrame(
+        [Row(doc_a=6, doc_b=7, jaccard=0.9)]
+    ).createOrReplaceTempView("lk_nd_same")
+    _, _, s2, _ = qc.check_split_leakage(
+        "lk_nd", "doc_id", "text", "split", near_dup_pairs="lk_nd_same")
+    assert s2["near_dup_leaked_pairs"] == 0 and s2["leaked_docs"] == 5

@@ -1368,10 +1368,13 @@ class QualityChecker:
         date_column: str | None = None,
         date_range: tuple[str, str] | None = None,
         report_output_format: str = "text",
+        near_dup_pairs=None,
+        near_dup_left: str = "doc_a",
+        near_dup_right: str = "doc_b",
     ):
         """Tenth check type: cross-split duplicate leakage — do any
-        exact-duplicate documents span two splits of one table? The
-        textbook eval-contamination bug: a test document with a training
+        duplicate documents span two splits of one table? The textbook
+        eval-contamination bug: a test document with a training
         duplicate silently inflates every benchmark score, and nothing in
         a per-split pipeline ever sees both copies at once. No analogue
         in the reference (its four checks compare two tables row-wise;
@@ -1384,12 +1387,24 @@ class QualityChecker:
         Fails when ``leaked_pct > max_leaked_pct``. Null texts count as
         duplicates of each other (exact_dedup's sentinel policy), so a
         null-text doc in train and another in test IS reported. An empty
-        table passes vacuously. Scale shape: the leakage frame
-        (operators/splits.split_leakage — distinct (fp, split) pairs,
-        map-side-combined groupBy, broadcast join back) is persisted
-        once; the doc count, per-split breakdown, and worst-group
-        examples all derive from it, and only bounded rows reach the
-        driver.
+        table passes vacuously.
+
+        ``near_dup_pairs`` (a DataFrame/table of detector output —
+        minhash / simhash / embedding pairs in ``near_dup_left``/
+        ``near_dup_right`` columns) widens the audit to NEAR-duplicate
+        leakage: docs on either side of a split-straddling pair join
+        the leaked set and the score (real contamination is mostly
+        near-dup — lightly edited mirrors an exact fingerprint can't
+        see). Stats then split out ``exact_leaked_docs`` /
+        ``near_dup_leaked_pairs`` alongside the combined count.
+
+        Scale shape: the leakage frame (operators/splits.split_leakage
+        — distinct (fp, split) pairs, map-side-combined groupBy,
+        broadcast join back) is persisted once; the doc count, per-split
+        breakdown, and worst-group examples all derive from it; the
+        near-dup widening is two hash joins of the (small) pair frame
+        (operators/splits.near_dup_pair_leakage). Only bounded rows
+        reach the driver.
         """
         for arg, label in ((id_column, "id_column"), (text_column, "text_column"),
                            (split_column, "split_column")):
@@ -1399,9 +1414,9 @@ class QualityChecker:
                 raise ValueError(f"{label} must be a non-empty column name")
         run_id = uuid.uuid4().hex[:16]
         timings = CheckRunTimings(run_started_at=CheckRunTimings.now())
-        leaked = None
+        cached: list = []
         try:
-            from .operators.splits import split_leakage
+            from .operators.splits import near_dup_pair_leakage, split_leakage
 
             fmt = validate_report_output_format(report_output_format)
             src = self._date_filter(
@@ -1412,10 +1427,33 @@ class QualityChecker:
             n_rows = src.count()
             leaked = split_leakage(
                 src, id_column, text_column, split_column).persist()
-            n_leaked = leaked.count()
+            cached.append(leaked)
+            n_exact = leaked.count()
+            leaked_ids = leaked.select(F.col(id_column), F.col(split_column))
+            n_nd_pairs = 0
+            if near_dup_pairs is not None:
+                ndp = near_dup_pair_leakage(
+                    self._resolve(near_dup_pairs),
+                    src.select(id_column, split_column),
+                    id_column, split_column,
+                    near_dup_left, near_dup_right,
+                ).persist()
+                cached.append(ndp)
+                n_nd_pairs = ndp.count()
+                nd_ids = ndp.select(
+                    F.col(near_dup_left).alias(id_column),
+                    F.col("split_a").alias(split_column),
+                ).unionByName(ndp.select(
+                    F.col(near_dup_right).alias(id_column),
+                    F.col("split_b").alias(split_column),
+                ))
+                leaked_ids = leaked_ids.unionByName(nd_ids)
+            all_leaked = leaked_ids.distinct().persist()
+            cached.append(all_leaked)
+            n_leaked = all_leaked.count()
             by_split = sorted(
                 ((r[split_column], int(r["c"])) for r in
-                 leaked.groupBy(split_column)
+                 all_leaked.groupBy(split_column)
                  .agg(F.count(F.lit(1)).alias("c")).collect()),
                 key=lambda t: (-t[1], str(t[0])),
             )
@@ -1450,6 +1488,10 @@ class QualityChecker:
             if by_split:
                 lines.append("  leaked docs per split: " + ", ".join(
                     f"{s}={c}" for s, c in by_split))
+            if near_dup_pairs is not None:
+                lines.append(
+                    f"  near-dup widening: {n_nd_pairs} split-straddling "
+                    f"pairs ({n_exact} docs leak exactly, {n_leaked} total)")
             for g in groups:
                 lines.append(
                     f"  dup group {g['text_fp'][:12]}… x{g['n_docs']} docs "
@@ -1459,6 +1501,8 @@ class QualityChecker:
             stats = {
                 "n_rows": n_rows,
                 "leaked_docs": n_leaked,
+                "exact_leaked_docs": n_exact,
+                "near_dup_leaked_pairs": n_nd_pairs,
                 "leaked_groups": n_groups,
                 "leaked_pct": round(leaked_pct, 4),
                 "leaked_by_split": dict(by_split),
@@ -1514,8 +1558,8 @@ class QualityChecker:
             self._track(D.CHECK_FAILED, source_table)
             return D.CHECK_FAILED, report, None, None
         finally:
-            if leaked is not None:
-                leaked.unpersist()
+            for frame in cached:
+                frame.unpersist()
 
     def check_custom_queries(
         self,
