@@ -45,8 +45,53 @@ from xoverrr_spark.operators.similarity import cosine_topk, embedding_near_dups
 from xoverrr_spark.pipeline.quality_filter import quality_filter
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _row_groups_and_rows(path: str) -> tuple[int, int]:
+    """(num_row_groups, num_rows) of a local parquet file — the EFFECTIVE
+    scan parallelism signal. Spark splits a file by byte ranges, but one
+    row group is always read by exactly one task, so a 6 MB single-row-
+    group file computes its whole map stage on ONE core regardless of
+    maxPartitionBytes (guide §2.5 "input skew": one huge unsplittable
+    file). Unknown layouts report as fully splittable (no rebalance)."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        return md.num_row_groups, md.num_rows
+    except Exception:
+        return 1 << 30, 0
+
+
+# tables worth rebalancing when their layout under-parallelizes the scan:
+# every query over them does heavy per-row work (regex/shingle/md5/vector
+# folds) BEFORE the first exchange. Key-hash repartition (deterministic,
+# no round-robin pre-sort) on the lead column spreads rows evenly.
+_REBALANCE_TABLES = {"documents", "embeddings"}
+_MIN_REBALANCE_ROWS = 20000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       rebalance: bool | None = None) -> DataFrame:
+    """Read a testdata table; ``rebalance`` redistributes rows across
+    ``defaultParallelism`` partitions when the file's row-group layout
+    would otherwise serialize the scan-side map work (guide §2.5). Auto
+    (None) = on for the text/vector tables every consumer maps heavily;
+    pass True/False to override per query. At production layouts (row
+    groups >= cores) this is a no-op — the condition is scale-adaptive,
+    not tuned to local mode."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if rebalance is None:
+        rebalance = name in _REBALANCE_TABLES
+    if rebalance:
+        par = spark.sparkContext.defaultParallelism
+        rgs, rows = _row_groups_and_rows(path)
+        if rgs < par and rows >= _MIN_REBALANCE_ROWS:
+            df = df.repartition(par, F.col(df.columns[0]))
+    return df
 
 
 def _orders_sides(spark, sf_dir):
@@ -152,7 +197,9 @@ def q_sniff_stats(spark, sf_dir):
 
 
 def q_normalize(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select(
+    # map-only regex canonicalization: rebalance the scan (guide §2.5) so
+    # the per-row regex work is not bounded by the file's row-group count
+    li = _t(spark, sf_dir, "lineitem", rebalance=True).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_returnflag", "l_shipdate",
     )
@@ -279,8 +326,29 @@ def q_top3_suppliers(spark, sf_dir):
 
 
 def q_langid(spark, sf_dir):
+    # materialized-feature form (r6): the self-contained lang_columns
+    # expression embeds the tokenizer split in every stopword score and
+    # the score trees again in the argmax when-chain — Catalyst's
+    # conditional branches defeat subexpression elimination, so each row
+    # re-split several times. Attribute columns are computed once
+    # (CLAUDE.md: never hand Catalyst a reused non-trivial tree).
+    from xoverrr_spark.functions.langid import (
+        lang_from_scores, stopword_hits, tokens_column,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    lang, conf = lang_columns(F.col("text"))
+    d = d.withColumn("_toks", tokens_column(F.col("text")))
+    d = d.withColumns(
+        {f"_s_{lang}": stopword_hits(F.col("_toks"), lang) for lang in R.LANGS}
+    )
+    lang, top = lang_from_scores({lang: F.col(f"_s_{lang}") for lang in R.LANGS})
+    words = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(F.col("_toks"))
+    )
+    d = d.withColumn("_words", words)
+    conf = F.least(
+        top.cast("double") / F.greatest(F.col("_words"), F.lit(1)), F.lit(1.0)
+    )
     return d.select("doc_id", lang.alias("lang"), conf.alias("lang_conf"))
 
 

@@ -49,7 +49,10 @@ def digit_count(text: Column) -> Column:
 
 
 def has_toxic(text: Column) -> Column:
-    return F.regexp_count(text, F.lit(R.TOXIC_RE)) > 0
+    # rlike, not regexp_count > 0: the existence test stops at the FIRST
+    # match instead of scanning the whole string and materializing every
+    # match (r6; identical boolean for any input)
+    return text.rlike(R.TOXIC_RE)
 
 
 def drop_reasons_from_features(

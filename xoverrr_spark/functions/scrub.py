@@ -22,14 +22,20 @@ from . import rulespec as R
 from .quality import digit_count, has_toxic
 
 
-def scrub_caption(text: Column, toxic: Column | None = None) -> Column:
-    """Scrubbed caption. ``toxic`` may pass a precomputed has-toxic flag
-    column to avoid a second wordlist scan."""
+def scrub_caption(
+    text: Column, toxic: Column | None = None, digits: Column | None = None
+) -> Column:
+    """Scrubbed caption. ``toxic`` / ``digits`` may pass precomputed
+    has-toxic / digit-count columns to avoid re-scanning the string for
+    values the caller's feature projection already holds (r6: the
+    pipeline computes the digit count once for the ratio rule; the phone
+    gate reuses that attribute instead of a second ``translate`` pass)."""
     out = F.when(
         text.contains("@"), F.regexp_replace(text, R.EMAIL_RE, R.EMAIL_TOKEN)
     ).otherwise(text)
+    digit_gate = (digit_count(text) if digits is None else digits) >= 2
     out = F.when(
-        digit_count(text) >= 2, F.regexp_replace(out, R.PHONE_RE, R.PHONE_TOKEN)
+        digit_gate, F.regexp_replace(out, R.PHONE_RE, R.PHONE_TOKEN)
     ).otherwise(out)
     toxic_flag = has_toxic(text) if toxic is None else toxic
     out = F.when(

@@ -115,6 +115,48 @@ def md5_long40(c):
 SHINGLE_P = 1000003
 
 
+def _word_hash_array(text_col):
+    """Per-word 40-bit md5 hashes as an array column (one md5 per word).
+    MUST be materialized (withColumn/select alias) before a gram fold
+    references it — a lambda-captured tree re-evaluates per element_at
+    (the CLAUDE.md Catalyst-duplication trap)."""
+    words = F.split(F.trim(F.lower(text_col)), r"\s+")
+    return F.transform(words, lambda w: md5_long40(w))
+
+
+def _gram_fold_array(wh, n: int):
+    """Word n-gram rolling-fold hashes over a MATERIALIZED word-hash array
+    attribute ``wh`` — the exact integer fold the oracle replays (see
+    ``shingle_table``); includes the <n-words 0-padded single-shingle
+    fallback."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(wh) - (n - 1), F.lit(1))),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, j: (
+                acc * SHINGLE_P + F.coalesce(F.try_element_at(wh, i + j), F.lit(0))
+            ) % MINHASH_MOD,
+        ),
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, shset) — each doc's DISTINCT shingle hashes as ONE array
+    row: the zero-shuffle row form of ``shingle_table`` (same fold, same
+    degenerate-text semantics; ``explode(shset)`` is exactly the row
+    table). Signature aggregation and candidate verification both work
+    per-row on this form, so the explode + re-group shuffle of the
+    exploded table is never paid (guide §2.4: remove shuffles outright).
+    One row per input row — callers dedup ids upstream as usual."""
+    with_wh = df.select(
+        F.col(id_col).alias("doc_id"), _word_hash_array(F.col(text_col)).alias("_wh")
+    )
+    return with_wh.select(
+        "doc_id", F.array_distinct(_gram_fold_array(F.col("_wh"), n)).alias("shset")
+    )
+
+
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(doc_id, shingle_hash) — distinct word n-gram hashes.
 
@@ -142,24 +184,8 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     The DuckDB oracle replays the identical integer fold
     (oracle._SHINGLES_CTE).
     """
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    with_wh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(words, lambda w: md5_long40(w)).alias("_wh"),
-    )
-    wh = F.col("_wh")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(wh) - (n - 1), F.lit(1))),
-        lambda i: F.aggregate(
-            F.sequence(F.lit(0), F.lit(n - 1)),
-            F.lit(0).cast("bigint"),
-            lambda acc, j: (
-                acc * SHINGLE_P + F.coalesce(F.try_element_at(wh, i + j), F.lit(0))
-            ) % MINHASH_MOD,
-        ),
-    )
-    return with_wh.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle_hash")
+    return shingle_sets(df, id_col, text_col, n).select(
+        "doc_id", F.explode("shset").alias("shingle_hash")
     )
 
 
@@ -177,17 +203,40 @@ def minhash_signature_from_shingles(
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signature_from_sets(
+    sets: DataFrame, num_hashes: int = 16, seed: int = 1234567,
+) -> DataFrame:
+    """Signatures computed PER ROW from a ``shingle_sets`` frame:
+    ``mh_i = array_min(transform(shset, x -> (a_i*x+b_i) mod 2^40))`` —
+    the same min over the same distinct-shingle universe as the exploded
+    groupBy form, with zero shuffle and no per-shingle rows (guide §2.4).
+    ``shset`` must be a materialized attribute (it is — ``shingle_sets``
+    aliases it), since each of the k transforms references it."""
+    sh = F.col("shset")
+    sigs = [
+        F.array_min(
+            F.transform(sh, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_MOD))
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes, seed))
+    ]
+    return sets.select("doc_id", *sigs)
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 16, shingle_n: int = 3, seed: int = 1234567,
 ) -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}) MinHash signature via universal hashing.
 
-    One explode + one groupBy; the k mins ride a single aggregate (partial
-    map-side combine keeps shuffle bytes at k longs per doc per mapper).
+    Computed per-row over the doc's distinct-shingle array (one scan, no
+    explode, no shuffle — r6: the previous explode + groupBy formulation
+    shuffled a row per shingle to rebuild exactly the per-doc grouping
+    the input already had). Ids are expected unique per row (every
+    pipeline here dedups upstream); duplicate ids now yield one signature
+    row each instead of a merged shingle union.
     """
-    return minhash_signature_from_shingles(
-        shingle_table(df, id_col, text_col, shingle_n), num_hashes, seed
+    return minhash_signature_from_sets(
+        shingle_sets(df, id_col, text_col, shingle_n), num_hashes, seed
     )
 
 
@@ -348,26 +397,36 @@ def candidate_jaccard(
         .distinct()
     )
     if shingles is not None:
-        # prebuilt (persisted) shingle table: restrict its rows
-        sh = shingles.join(cand_ids, "doc_id", "left_semi")
+        # prebuilt (persisted) shingle table: restrict its rows, regroup
+        sets = (
+            shingles.join(cand_ids, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle_hash").alias("shset"))
+            .persist()
+        )
     else:
         # no prebuilt table: restrict the DOCS before shingling — the
-        # candidate id set is small (broadcast semi-join), so the
-        # explode+md5 map stage runs over candidate docs only instead of
-        # the whole corpus (at 1M docs this halved the verify stage)
+        # candidate id set is small (broadcast semi-join), so the md5+fold
+        # map stage runs over candidate docs only instead of the whole
+        # corpus — and build the per-doc arrays directly (r6: zero-shuffle
+        # row form; the explode + collect_set round-trip is gone)
         docs_cand = df.join(
             cand_ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
         )
-        sh = shingle_table(docs_cand, id_col, text_col, shingle_n)
-    sets = (
-        sh.groupBy("doc_id")
-        .agg(F.collect_set("shingle_hash").alias("shset"))
-        .persist()
-    )
+        sets = shingle_sets(docs_cand, id_col, text_col, shingle_n).persist()
     # `sets` feeds BOTH sides of the pair join; without the persist the
-    # whole shingle scan + collect_set would execute twice (Spark never
-    # reuses a self-join exchange — measured 93s -> ~45s at 1M docs)
-    out = (
+    # whole shingle scan would execute twice (Spark never reuses a
+    # self-join exchange — measured 93s -> ~45s at 1M docs)
+    out = _pairs_jaccard_from_sets(candidates, sets)
+    return _attach_intermediates(out, [sets])
+
+
+def _pairs_jaccard_from_sets(candidates: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact Jaccard for (doc_a, doc_b) pairs from a (doc_id, shset)
+    distinct-shingle-array frame: |A∩B| via JVM ``array_intersect``,
+    sizes from the arrays — identical math to the exploded collect_set
+    form (the arrays ARE the distinct sets)."""
+    return (
         candidates.join(
             sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa")), "doc_a"
         )
@@ -383,7 +442,6 @@ def candidate_jaccard(
             ).alias("jaccard"),
         )
     )
-    return _attach_intermediates(out, [sets])
 
 
 def minhash_near_dups(
@@ -395,28 +453,28 @@ def minhash_near_dups(
     """LSH candidates verified with exact candidate-restricted Jaccard
     -> (doc_a, doc_b, jaccard >= threshold).
 
-    The shingle table is built ONCE and persisted — it feeds both the
-    signature aggregation and the Jaccard verify, and the explode+md5 map
-    stage over the full corpus is the most expensive scan-side work here
-    (rehydrating the cache beats recomputing it). The candidate pair set
-    is persisted so its two consumers (the id semi-join and the final
-    pair join) share one LSH bucket join. Both caches are LRU-evicted
-    under pressure; after materializing the result, call
-    ``release_intermediates(result)`` to free them deterministically
-    (long-lived sessions otherwise accumulate disk-spilled blocks that
-    eviction never reclaims — ADVICE r02).
+    The per-doc distinct-shingle ARRAY table (``shingle_sets``) is built
+    ONCE and persisted — it feeds the per-row signature computation AND
+    the Jaccard verify (r6: previously a per-shingle exploded table was
+    persisted, signatures re-grouped it and the verify collect_set'ed it
+    back into arrays — two shuffles rebuilding a grouping the input
+    already had; now both consumers read the arrays directly, and the
+    md5+fold map stage remains the only scan-side work). The candidate
+    pair set is persisted so its two consumers share one LSH bucket
+    join. Both caches are LRU-evicted under pressure; after
+    materializing the result, call ``release_intermediates(result)`` to
+    free them deterministically (long-lived sessions otherwise
+    accumulate disk-spilled blocks that eviction never reclaims —
+    ADVICE r02).
     """
-    sh = shingle_table(df, id_col, text_col, shingle_n).persist()
-    sig = minhash_signature_from_shingles(sh, num_hashes)
+    sets = shingle_sets(df, id_col, text_col, shingle_n).persist()
+    sig = minhash_signature_from_sets(sets, num_hashes)
     cands = lsh_candidate_pairs(sig, num_hashes, bands, max_bucket_size)
     inner = list(getattr(cands, "_xoverrr_intermediates", ()))
     cands = cands.persist()
-    j = candidate_jaccard(df, id_col, text_col, cands, shingle_n, shingles=sh)
-    # j's own persisted intermediates (the shingle-set cache) don't ride
-    # derived frames — collect them before filter/select drops the attr
-    j_inner = list(getattr(j, "_xoverrr_intermediates", ()))
+    j = _pairs_jaccard_from_sets(cands, sets)
     out = j.filter(F.col("jaccard") >= jaccard_threshold).select("doc_a", "doc_b", "jaccard")
-    return _attach_intermediates(out, inner + j_inner + [sh, cands])
+    return _attach_intermediates(out, inner + [sets, cands])
 
 
 def ngram_jaccard(

@@ -57,16 +57,27 @@ def cosine_topk(
 
     Self-matches (same id) are excluded. Broadcast the (small) query side.
     """
+    # norms are per-VECTOR, so compute them once per row on each side
+    # before the pair join (r6; guide §1.2 per-task work): the previous
+    # per-pair cosine() re-folded both norms for every (query, neighbor)
+    # pair — 3 array folds per pair instead of 1. Same IEEE ops in the
+    # same order (den = norm(q)*norm(c)), so every value is bit-identical.
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("_qn", _norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("_cn", _norm(F.col("cv")))
+    den = F.col("_qn") * F.col("_cn")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select(
+            "query_id", "neighbor_id",
+            F.when(den == F.lit(0.0), F.lit(0.0))
+            .otherwise(_dot(F.col("qv"), F.col("cv")) / den)
+            .alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

@@ -37,10 +37,9 @@ from ..functions.langid import lang_from_scores, stopword_hits, tokens_column
 from ..functions.perplexity import batch_perplexity
 from ..functions.quality import (
     alpha_ratio,
-    digit_ratio,
+    digit_count,
     drop_reasons_from_features,
     has_toxic,
-    norm_caption,
 )
 from ..functions.scrub import scrub_caption
 
@@ -50,8 +49,8 @@ OUTPUT_COLUMNS = [
     "image_id", "lang", "lang_conf", "ppl", "keep", "drop_reasons", "caption_scrubbed",
 ]
 
-_INTERNAL = ["_cnorm", "_toks", "_n", "_wc", "_alpha", "_digit", "_distinct",
-             "_toxic"] + [f"_s_{lang}" for lang in R.LANGS]
+_INTERNAL = ["_ctrim", "_cnorm", "_toks", "_n", "_nd", "_wc", "_alpha",
+             "_digit", "_distinct", "_toxic"] + [f"_s_{lang}" for lang in R.LANGS]
 
 
 def annotate(
@@ -66,14 +65,34 @@ def annotate(
     aliases materialized, so nothing here is recomputed per rule — this
     exact restructuring took the pipeline from ~6k to >100k rows/s/8-cores.
     """
-    df = df.withColumn("_cnorm", norm_caption(F.col(caption_col)))
+    # the TRIM_RE pass is materialized as its own attribute: inlining
+    # norm_caption duplicates the trim regexp_replace into both the RLIKE
+    # condition and the ELSE branch of the same CASE (visible in the r5
+    # physical plan) — every row paid the trim regex twice (r6)
+    df = df.withColumn(
+        "_ctrim",
+        F.regexp_replace(F.coalesce(F.col(caption_col), F.lit("")), R.TRIM_RE, ""),
+    )
+    df = df.withColumn(
+        "_cnorm",
+        F.when(F.col("_ctrim").rlike(R.NULLISH_RE), F.lit(R.NULL_REPLACEMENT))
+        .otherwise(F.col("_ctrim")),
+    )
     df = df.withColumns({
         "_toks": tokens_column(F.col("_cnorm")),
         "_n": F.length("_cnorm"),
+        # digit COUNT materialized once: the ratio rule divides it and the
+        # scrub phone-gate thresholds it (was two translate passes)
+        "_nd": digit_count(F.col("_cnorm")),
         "_alpha": alpha_ratio(F.col("_cnorm")),
-        "_digit": digit_ratio(F.col("_cnorm")),
         "_toxic": has_toxic(F.col("_cnorm")),
     })
+    df = df.withColumn(
+        "_digit",
+        F.when(F.col("_n") == 0, F.lit(0.0)).otherwise(
+            F.col("_nd").cast("double") / F.col("_n")
+        ),
+    )
     df = df.withColumns({
         "_wc": F.size("_toks"),
         "_distinct": F.size(F.array_distinct("_toks")).cast("double") / F.size("_toks"),
@@ -101,7 +120,10 @@ def annotate(
     return (
         df.withColumn("drop_reasons", reasons)
         .withColumn("keep", F.size("drop_reasons") == 0)
-        .withColumn("caption_scrubbed", scrub_caption(F.col("_cnorm"), F.col("_toxic")))
+        .withColumn(
+            "caption_scrubbed",
+            scrub_caption(F.col("_cnorm"), F.col("_toxic"), F.col("_nd")),
+        )
         .drop(*_INTERNAL)
     )
 
