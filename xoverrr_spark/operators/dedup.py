@@ -184,8 +184,19 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     The DuckDB oracle replays the identical integer fold
     (oracle._SHINGLES_CTE).
     """
-    return shingle_sets(df, id_col, text_col, n).select(
-        "doc_id", F.explode("shset").alias("shingle_hash")
+    # the explode must sit DIRECTLY over the _wh projection: stacking it
+    # on shingle_sets' two projects lets CollapseProject merge them and
+    # inline the per-word md5 transform into every element access of the
+    # gram fold (the CLAUDE.md Catalyst-duplication trap — measured 3.5x
+    # slower on curate_documents when it fired)
+    with_wh = df.select(
+        F.col(id_col).alias("doc_id"), _word_hash_array(F.col(text_col)).alias("_wh")
+    )
+    return with_wh.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_gram_fold_array(F.col("_wh"), n))
+        ).alias("shingle_hash"),
     )
 
 
