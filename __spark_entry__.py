@@ -1253,7 +1253,7 @@ def q_q18_large_volume(spark, sf_dir):
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_q18")
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q18")
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q18")
-    return spark.sql(
+    return _decimals_to_double(spark.sql(
         """
         SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
                CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
@@ -1268,7 +1268,7 @@ def q_q18_large_volume(spark, sf_dir):
         GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
                  o.o_totalprice
         """
-    )
+    ))
 
 
 def q_q22_global_sales(spark, sf_dir):
@@ -1352,10 +1352,32 @@ def _rewrite_tpch_tables(sql, tag):
     return "".join(out), sorted(seen)
 
 
+def _decimals_to_double(df: DataFrame) -> DataFrame:
+    """Final Spark-side cast of DECIMAL output columns to DOUBLE.
+
+    DuckDB's client materializes DECIMAL results as float64 while Spark's
+    toPandas keeps decimal.Decimal ('400000.10' vs 400000.1) — identical
+    values, different hash representations (the one red driver row of
+    round 5, q18). The oracle SQL is untouched; the cast is exact
+    (DECIMAL(18,2) magnitudes are well inside double's 2^53), matching
+    the q22_global_sales pattern. Guarded by
+    tests/test_no_decimal_outputs.py."""
+    from pyspark.sql import types as T
+
+    casts = {
+        f.name: F.col(f.name).cast("double")
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.DecimalType)
+    }
+    return df.withColumns(casts) if casts else df
+
+
 def q_q2_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 shape: correlated MIN scalar subquery — cheapest supplier
     rows per size-11 part (lineitem stands in for partsupp)."""
-    return _tpch_sql(spark, sf_dir, oracle.q2_min_cost_supplier(), "q2")
+    return _decimals_to_double(
+        _tpch_sql(spark, sf_dir, oracle.q2_min_cost_supplier(), "q2")
+    )
 
 
 def q_q6_forecast_revenue(spark, sf_dir):
@@ -1373,7 +1395,9 @@ def q_q9_product_profit(spark, sf_dir):
 def q_q10_returned_items(spark, sf_dir):
     """TPC-H Q10 shape: returned-item revenue per customer over a
     four-way join (no LIMIT: top-k ties are engine-nondeterministic)."""
-    return _tpch_sql(spark, sf_dir, oracle.q10_returned_items(), "q10")
+    return _decimals_to_double(
+        _tpch_sql(spark, sf_dir, oracle.q10_returned_items(), "q10")
+    )
 
 
 def q_q11_important_parts(spark, sf_dir):
