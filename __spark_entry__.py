@@ -125,7 +125,7 @@ def q_diff_stats(spark, sf_dir):
 
 def q_dup_keys(spark, sf_dir):
     return (
-        _t(spark, sf_dir, "lineitem")
+        _t(spark, sf_dir, "lineitem", rebalance=True)
         .groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") > 1)
@@ -207,7 +207,9 @@ def q_normalize(spark, sf_dir):
 
 
 def q_q1(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    # rebalance: the per-row DECIMAL partial aggregation dominates and was
+    # bounded by the file's 6 row groups (guide §2.5; 1.3s -> 1.0s at sf1)
+    li = _t(spark, sf_dir, "lineitem", rebalance=True)
     return (
         li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -222,8 +224,10 @@ def q_q1(spark, sf_dir):
 
 
 def q_revenue_top10(spark, sf_dir):
+    # rebalance the fact side: the broadcast-join probe + partial agg ran
+    # at row-group parallelism (guide §2.5; 3.2s -> 1.7s at sf1 local[32])
     o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", rebalance=True)
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey")
@@ -508,13 +512,24 @@ def q_curate_documents(spark, sf_dir):
 
     from xoverrr_spark.operators.dedup import _attach_intermediates
 
-    d = _t(spark, sf_dir, "documents")
+    # no rebalance: only the fingerprint map runs pre-shuffle here; the
+    # battery runs on post-window partitions (measured 4.1s vs 4.9s plain-wins)
+    d = _t(spark, sf_dir, "documents", rebalance=False)
     survivors = exact_dedup_window(d, "doc_id", "text")
     # annotate keeps every input column, so the keep decision is a FILTER on
     # the survivor frame (no self-semi-join that would recompute the dedup);
     # PERSISTED because two consumers read it (the anti-join left side and
-    # the decontamination shingling) and branches of one plan never share
-    s2 = annotate(survivors, caption_col="text", with_ppl=False).filter("keep").persist()
+    # the decontamination shingling) and branches of one plan never share.
+    # Project to the columns those consumers actually read BEFORE the
+    # persist (guide §2.3): a cache cannot be column-pruned after the fact,
+    # and the full annotate row would materialize the scrubbed caption and
+    # language columns nothing downstream touches.
+    s2 = (
+        annotate(survivors, caption_col="text", with_ppl=False)
+        .filter("keep")
+        .select("doc_id", "source", "text")
+        .persist()
+    )
     bench = d.filter(F.col("doc_id") % oracle.DECONTAM_BENCH_MOD == 0)
     s3 = (
         s2.select("doc_id", "source")
@@ -534,11 +549,17 @@ def q_curate_documents_hash(spark, sf_dir):
 
     from xoverrr_spark.operators.dedup import _attach_intermediates
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", rebalance=False)
     survivors = exact_dedup_window(d, "doc_id", "text")
-    # persisted two-consumer survivor frame; decontamination shingles only
-    # the kept survivors (see q_curate_documents)
-    s2 = annotate(survivors, caption_col="text", with_ppl=False).filter("keep").persist()
+    # persisted two-consumer survivor frame, projected to the consumed
+    # columns before the persist; decontamination shingles only the kept
+    # survivors (see q_curate_documents)
+    s2 = (
+        annotate(survivors, caption_col="text", with_ppl=False)
+        .filter("keep")
+        .select("doc_id", "source", "text")
+        .persist()
+    )
     bench = d.filter(F.col("doc_id") % oracle.DECONTAM_BENCH_MOD == 0)
     s3 = (
         s2.select("doc_id", "source")
@@ -613,7 +634,7 @@ def q_curate_documents_v2(spark, sf_dir):
     from xoverrr_spark.operators.dedup import _attach_intermediates, exact_dedup_window
     from xoverrr_spark.operators.repetition import repetitive_docs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", rebalance=False)
     # the dedup survivors feed FOUR branches (repetition agg, anti-join
     # left side, mixture rate counts, mixture main) and branches of one
     # lazy plan never share execution — persist, and free via
@@ -650,7 +671,7 @@ def q_curate_documents_v3(spark, sf_dir):
         exact_dedup_window, shingle_table,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", rebalance=False)
     dd = exact_dedup_window(d, "doc_id", "text").persist()
     # ONE shingle table feeds the dup-fraction agg, the benchmark set and
     # the containment scores (branches never share execution unpersisted)
@@ -704,14 +725,14 @@ def q_cluster_survivors(spark, sf_dir):
 def q_source_cap(spark, sf_dir):
     from xoverrr_spark.operators.corpus import cap_per_source
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = _t(spark, sf_dir, "documents", rebalance=False).select("doc_id", "source")
     return cap_per_source(d, "source", "doc_id", oracle.SOURCE_CAP_K)
 
 
 def q_source_cap_hash(spark, sf_dir):
     from xoverrr_spark.operators.corpus import cap_per_source_hash
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = _t(spark, sf_dir, "documents", rebalance=False).select("doc_id", "source")
     return cap_per_source_hash(d, "source", "doc_id", oracle.SOURCE_CAP_K)
 
 
@@ -968,7 +989,9 @@ def q_quality_top_fraction(spark, sf_dir):
 def q_mixture_sample(spark, sf_dir):
     from xoverrr_spark.operators.corpus import mixture_sample
 
-    d = _t(spark, sf_dir, "documents")
+    # no rebalance: the map side is one md5 per id — the extra exchange
+    # costs more than the parallelism buys (measured +0.3s)
+    d = _t(spark, sf_dir, "documents", rebalance=False)
     return mixture_sample(
         d, oracle.MIXTURE_WEIGHTS, oracle.MIXTURE_TARGET_FRAC
     ).select("doc_id", "source")
@@ -1604,7 +1627,7 @@ def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle.SPLIT_FRACTIONS/SPLIT_SEED so the twin can never drift."""
     from xoverrr_spark.operators.splits import assign_splits
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = _t(spark, sf_dir, "documents", rebalance=False).select("doc_id")
     return assign_splits(d, "doc_id", oracle.SPLIT_FRACTIONS, seed=oracle.SPLIT_SEED)
 
 
@@ -1658,7 +1681,9 @@ def q_assemble_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     One persisted split-assigned frame feeds all four consumers."""
     from xoverrr_spark.operators.splits import assemble_dataset
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    # no rebalance: the split-assigned corpus persists after one md5 map;
+    # the recipe's work is post-persist (measured 2.9s plain vs 3.2-4.4s)
+    d = _t(spark, sf_dir, "documents", rebalance=False).select("doc_id", "text", "source")
     corpus = d.unionByName(
         d.filter(F.col("doc_id") % oracle.SPLIT_MIRROR_MOD == 0).select(
             (F.col("doc_id") + oracle.SPLIT_MIRROR_OFFSET).alias("doc_id"),
@@ -1708,7 +1733,7 @@ def q_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply to groups, not documents."""
     from xoverrr_spark.operators.splits import assign_splits
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = _t(spark, sf_dir, "documents", rebalance=False).select("doc_id", "source")
     return assign_splits(d, "source", oracle.SPLIT_FRACTIONS, seed=oracle.SPLIT_SEED)
 
 
