@@ -70,7 +70,9 @@ def _row_groups_and_rows(path: str) -> tuple[int, int]:
 # folds) BEFORE the first exchange. Key-hash repartition (deterministic,
 # no round-robin pre-sort) on the lead column spreads rows evenly.
 _REBALANCE_TABLES = {"documents", "embeddings"}
-_MIN_REBALANCE_ROWS = 20000
+# 2000: sf0.1's 5k-doc table still gains 1.4-2.4x (measured); below that the
+# exchange round-trip costs more than the parallelism buys
+_MIN_REBALANCE_ROWS = 2000
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str,
