@@ -19,7 +19,6 @@ from pyspark.sql.window import Window
 
 from xoverrr_spark import oracle
 from xoverrr_spark.functions import rulespec as R
-from xoverrr_spark.functions.langid import lang_columns
 from xoverrr_spark.functions.normalize import canonicalize
 from xoverrr_spark.functions.tokens import (
     bpe_token_count,
