@@ -525,19 +525,26 @@ def q_curate_documents(spark, sf_dir):
     # persist (guide §2.3): a cache cannot be column-pruned after the fact,
     # and the full annotate row would materialize the scrubbed caption and
     # language columns nothing downstream touches.
-    s2 = (
+    # persist BEFORE the keep-filter: pushing filter("keep") below the
+    # annotate projection makes Catalyst inline the whole rule battery
+    # into the predicate — measured 116 regexp_replace / 46 split / 39
+    # stopword INSET copies in the optimized plan and 7.2s for this one
+    # stage (the CLAUDE.md reused-tree trap via FilterPushdown). Caching
+    # the four consumed columns evaluates the battery exactly once; the
+    # filter then reads the cached boolean.
+    dec = (
         annotate(survivors, caption_col="text", with_ppl=False)
-        .filter("keep")
-        .select("doc_id", "source", "text")
+        .select("doc_id", "source", "text", "keep")
         .persist()
     )
+    s2 = dec.filter("keep").select("doc_id", "source", "text")
     bench = d.filter(F.col("doc_id") % oracle.DECONTAM_BENCH_MOD == 0)
     s3 = (
         s2.select("doc_id", "source")
         .join(contaminated_docs(s2, bench, "doc_id", "text"), "doc_id", "left_anti")
     )
     out = cap_per_source(s3, "source", "doc_id", oracle.CURATE_SOURCE_CAP)
-    return _attach_intermediates(out, [s2])
+    return _attach_intermediates(out, [dec])
 
 
 def q_curate_documents_hash(spark, sf_dir):
@@ -555,19 +562,26 @@ def q_curate_documents_hash(spark, sf_dir):
     # persisted two-consumer survivor frame, projected to the consumed
     # columns before the persist; decontamination shingles only the kept
     # survivors (see q_curate_documents)
-    s2 = (
+    # persist BEFORE the keep-filter: pushing filter("keep") below the
+    # annotate projection makes Catalyst inline the whole rule battery
+    # into the predicate — measured 116 regexp_replace / 46 split / 39
+    # stopword INSET copies in the optimized plan and 7.2s for this one
+    # stage (the CLAUDE.md reused-tree trap via FilterPushdown). Caching
+    # the four consumed columns evaluates the battery exactly once; the
+    # filter then reads the cached boolean.
+    dec = (
         annotate(survivors, caption_col="text", with_ppl=False)
-        .filter("keep")
-        .select("doc_id", "source", "text")
+        .select("doc_id", "source", "text", "keep")
         .persist()
     )
+    s2 = dec.filter("keep").select("doc_id", "source", "text")
     bench = d.filter(F.col("doc_id") % oracle.DECONTAM_BENCH_MOD == 0)
     s3 = (
         s2.select("doc_id", "source")
         .join(contaminated_docs(s2, bench, "doc_id", "text"), "doc_id", "left_anti")
     )
     out = cap_per_source_hash(s3, "source", "doc_id", oracle.CURATE_SOURCE_CAP)
-    return _attach_intermediates(out, [s2])
+    return _attach_intermediates(out, [dec])
 
 
 def q_lsh_bucket_stats(spark, sf_dir):
