@@ -309,10 +309,12 @@ def test_assign_splits_zero_shuffle(spark, sf_dir):
     assert "ReadSchema: struct<doc_id:bigint>" in _formatted(df)  # pruned scan
 
 
-def test_split_leakage_broadcasts_spans_two_exchanges(spark, sf_dir):
-    """The leakage audit shuffles only the tiny (fp, split) projection
-    (distinct + groupBy, both map-side combinable); the corpus probe
-    side rides a broadcast join back — never a corpus shuffle."""
+def test_split_leakage_single_pass_one_exchange(spark, sf_dir):
+    """The leakage audit is ONE fingerprint pass + ONE shuffle (r6): the
+    distinct split set per fingerprint rides a single window over text_fp
+    and the per-row filter reads it — no join at all. The previous
+    distinct+groupBy+join-back shape fingerprinted the corpus TWICE
+    (plan branches never share execution) and shuffled three times."""
     from xoverrr_spark.operators.splits import assign_splits, split_leakage
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -321,6 +323,9 @@ def test_split_leakage_broadcasts_spans_two_exchanges(spark, sf_dir):
         {"train": 0.8, "val": 0.2}, seed=1)
     df = split_leakage(with_split, "doc_id", "text", "split")
     plan = _plan(df)
-    assert plan.count("Exchange hashpartitioning") == 2, plan
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    # the md5-of-normalized-text fingerprint is evaluated exactly once
+    # (assign_splits' own md5-of-key also appears in the plan, so count the
+    # fingerprint's lower() canonicalization, unique to it here)
+    assert plan.count("lower(") == 1, plan

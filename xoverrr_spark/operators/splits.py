@@ -184,11 +184,19 @@ def split_leakage(
     upstream data can carry anything) is coalesced to a sentinel so the
     row is counted rather than silently skipped by collect_list.
 
-    Plan: project -> distinct (fp, split) pairs -> groupBy fp (tiny,
-    map-side combinable) -> filter n_splits >= 2 -> one equi-join back.
-    The join key is the coalesced fingerprint, never null by
-    construction, so a plain equi-join is null-complete here.
+    Plan: project -> ONE window over text_fp computing the distinct split
+    set per fingerprint -> per-row filter. One fingerprint pass and one
+    shuffle (r6): the previous distinct+groupBy+join-back formulation fed
+    the fingerprint projection into TWO plan branches — branches of a
+    lazy plan never share execution, so the md5-of-normalized-text map
+    ran twice over the full corpus, plus a second shuffle for the join.
+    Values identical (collect_set over the fp partition == collect_list
+    over distinct (fp, split) pairs; both sorted before joining). Dup
+    groups are corpus-bounded (exact-dup families), so the window
+    partition never serializes a meaningful fraction of the data.
     """
+    from pyspark.sql.window import Window
+
     d = df.select(
         F.col(id_col),
         F.coalesce(F.col(split_col), F.lit(NULL_SPLIT_SENTINEL)).alias("_split"),
@@ -196,22 +204,19 @@ def split_leakage(
             "text_fp"
         ),
     )
-    spans = (
-        d.select("text_fp", "_split")
-        .distinct()
-        .groupBy("text_fp")
-        .agg(
-            F.count(F.lit(1)).alias("n_splits"),
-            F.array_join(F.sort_array(F.collect_list("_split")), ",").alias("splits"),
+    w = Window.partitionBy("text_fp")
+    return (
+        d.withColumn("_splitset", F.sort_array(F.collect_set("_split").over(w)))
+        .filter(F.size("_splitset") >= 2)
+        .select(
+            F.col(id_col),
+            F.col("_split").alias(split_col),
+            "text_fp",
+            # cast: the previous COUNT aggregate emitted bigint; size() is
+            # int and a changed output dtype would flip the driver's hash
+            F.size("_splitset").cast("bigint").alias("n_splits"),
+            F.array_join("_splitset", ",").alias("splits"),
         )
-        .filter(F.col("n_splits") >= 2)
-    )
-    return d.join(spans, "text_fp", "inner").select(
-        F.col(id_col),
-        F.col("_split").alias(split_col),
-        "text_fp",
-        "n_splits",
-        "splits",
     )
 
 
