@@ -240,7 +240,14 @@ def _issue_examples_from_joined(
         )
     both = F.col("s_cnt").isNotNull() & F.col("t_cnt").isNotNull()
     pk = F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias("primary_key")
-    melted = j.filter(both).select(
+    # pre-filter to rows whose value structs DIFFER before melting: struct
+    # equality uses Spark's ordering (null fields compare equal), so it is
+    # exactly "every column eqNullSafe" — an equal row can contribute no
+    # example, yet the melt exploded it |vals| ways anyway (r6: the explode
+    # input drops from every comparable row to just the differing rows;
+    # per-column output unchanged)
+    differing = both & ~(F.col("s_row") == F.col("t_row"))
+    melted = j.filter(differing).select(
         pk,
         F.explode(
             F.array(*[
